@@ -1,0 +1,158 @@
+"""Per-Gaussian preprocessing: cull, project, EWA cov2D, SH→RGB, tile rects.
+
+The JAX analog of `preprocessCUDA` / `preprocessLonlatCUDA`
+(`/root/reference/cuda_rasterizer/forward.cu:231-340,593-703`), shared by the
+brute-force oracle, the XLA tile rasterizer, and (as reference semantics) the
+Pallas kernels. Everything is vectorized over the Gaussian axis and fully
+differentiable; culling is expressed as masks, never as dynamic shapes.
+
+Camera dispatch is *static*: the `Camera.camera_type` is Python-level, so jit
+compiles one specialization per camera model (the reference instead forks two
+rasterizer classes, `src/rasterize_points.cu:105-161`).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+from omnigs_tpu.cameras import (
+    Camera,
+    CameraType,
+    lonlat_jacobian,
+    lonlat_project,
+    pinhole_jacobian,
+    pinhole_project,
+    world_to_cam,
+)
+from omnigs_tpu.ops import covariance as cov_ops
+from omnigs_tpu.ops import sh as sh_ops
+
+TILE = 16  # BLOCK_X = BLOCK_Y (`cuda_rasterizer/config.h:25-27`)
+
+
+class Preprocessed(NamedTuple):
+    """Per-Gaussian rasterization state (all arrays length P on axis 0)."""
+
+    means2d: jnp.ndarray  # (P, 2) pixel coordinates
+    depths: jnp.ndarray  # (P,) camera z (pinhole) / radial distance (lonlat)
+    conic: jnp.ndarray  # (P, 3) inverse 2D covariance [A, B, C]
+    radii: jnp.ndarray  # (P,) float screen radius; 0 ⇒ culled
+    rgb: jnp.ndarray  # (P, 3) clamped colors
+    opacity: jnp.ndarray  # (P,) activated opacities
+    rect: jnp.ndarray  # (P, 4) int32 tile rect [x0, y0, x1, y1), clipped
+    tiles_touched: jnp.ndarray  # (P,) int32 number of covered tiles
+    valid: jnp.ndarray  # (P,) bool — survives all culls
+
+
+def tile_grid(camera: Camera):
+    return (
+        (camera.width + TILE - 1) // TILE,
+        (camera.height + TILE - 1) // TILE,
+    )
+
+
+def compute_rect(means2d: jnp.ndarray, radii: jnp.ndarray, grid_x: int, grid_y: int):
+    """Bounding tile rectangle, non-cyclic like the reference's `getRect`
+    (`auxiliary.h:56-66`; the ±180° seam is clipped, not wrapped — the cyclic
+    variant is dead code, `auxiliary.h:68-83`)."""
+    x0 = jnp.clip(
+        jnp.floor((means2d[..., 0] - radii) / TILE).astype(jnp.int32), 0, grid_x
+    )
+    y0 = jnp.clip(
+        jnp.floor((means2d[..., 1] - radii) / TILE).astype(jnp.int32), 0, grid_y
+    )
+    x1 = jnp.clip(
+        jnp.floor((means2d[..., 0] + radii + TILE - 1) / TILE).astype(jnp.int32),
+        0,
+        grid_x,
+    )
+    y1 = jnp.clip(
+        jnp.floor((means2d[..., 1] + radii + TILE - 1) / TILE).astype(jnp.int32),
+        0,
+        grid_y,
+    )
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+def preprocess(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    camera: Camera,
+    viewmatrix: jnp.ndarray,
+    campos: jnp.ndarray,
+    sh_degree: int,
+    scale_modifier: float = 1.0,
+    full_proj: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
+) -> Preprocessed:
+    """Vectorized per-Gaussian preprocess.
+
+    Args:
+      means3d: (P, 3) world positions.
+      scales: (P, 3) *activated* scales (exp already applied).
+      quats: (P, 4) *activated* (normalized) quaternions, (w, x, y, z).
+      opacities: (P,) activated opacities in (0, 1).
+      shs: (P, M, 3) SH coefficients.
+      camera: static camera description.
+      viewmatrix: (4, 4) T_cw.
+      campos: (3,) camera center in world frame.
+      sh_degree: static active SH degree.
+      active_mask: optional (P,) bool of live capacity slots.
+    """
+    W, H = camera.width, camera.height
+    gx, gy = tile_grid(camera)
+    t = world_to_cam(means3d, viewmatrix)
+
+    if camera.camera_type == CameraType.LONLAT:
+        means2d, depths, in_front = lonlat_project(t, W, H)
+        J = lonlat_jacobian(t, W, H)
+    elif camera.camera_type == CameraType.PINHOLE:
+        if full_proj is None:
+            raise ValueError("pinhole camera requires full_proj")
+        means2d, depths, in_front = pinhole_project(t, W, H, full_proj, means3d)
+        J = pinhole_jacobian(
+            t, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
+        )
+    else:
+        raise NotImplementedError(f"camera_type {camera.camera_type}")
+
+    if cov3d_precomp is None:
+        cov3d = cov_ops.build_cov3d(scales, quats, scale_modifier)
+    else:
+        cov3d = cov3d_precomp
+    cov2d = cov_ops.project_cov3d(cov3d, J, viewmatrix[:3, :3])
+    conic, det = cov_ops.invert_cov2d(cov2d)
+    radii = cov_ops.cov2d_extent(cov2d, det)
+
+    rect = compute_rect(means2d, radii, gx, gy)
+    area = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
+
+    valid = in_front & (det != 0.0) & (area > 0)
+    if active_mask is not None:
+        valid = valid & active_mask
+
+    if colors_precomp is None:
+        rgb = sh_ops.sh_to_rgb(sh_degree, shs, means3d, campos)
+    else:
+        rgb = colors_precomp
+
+    radii = jnp.where(valid, radii, 0.0)
+    tiles = jnp.where(valid, area, 0).astype(jnp.int32)
+    return Preprocessed(
+        means2d=means2d,
+        depths=depths,
+        conic=conic,
+        radii=radii,
+        rgb=rgb,
+        opacity=opacities,
+        rect=rect,
+        tiles_touched=tiles,
+        valid=valid,
+    )

@@ -1,0 +1,19 @@
+"""Test configuration: force CPU with 8 virtual devices.
+
+Multi-chip sharding logic is tested on a host-platform device mesh (the
+standard JAX fake-multi-device trick) per SURVEY.md §4; real-TPU benchmarking
+happens in bench.py, not the unit suite.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
