@@ -1,0 +1,94 @@
+"""Static-shape tile binning: duplicate-with-keys → sort → per-tile gather.
+
+TPU-native replacement for the reference's dynamic binning pipeline
+(`/root/reference/cuda_rasterizer/rasterizer_impl.cu:94-167,305-395`): the
+reference prefix-sums `tiles_touched`, copies the total to the host, reallocs
+a binning buffer, scatters (tileId<<32 | depthBits) keys, and CUB-radix-sorts
+them. None of that maps to XLA (host sync + dynamic shapes), so here:
+
+* The instance buffer has a *static* capacity ``max_instances`` (R). Instance
+  slot j is mapped to its source Gaussian with a searchsorted over the
+  exclusive prefix sum of `tiles_touched` — no per-Gaussian emission loop,
+  no dynamic total. Slots beyond the true total are masked to a sentinel
+  tile id that sorts last.
+* Instances are emitted in the same (gaussian-major, then tile-row-major)
+  order as `duplicateWithKeys` (`rasterizer_impl.cu:94-140`), and the sort is
+  a stable lexicographic `lax.sort` on (tile, depth), so the composited
+  order — including depth ties — matches the reference's stable radix sort.
+* Per-tile instance lists are densified to a (num_tiles, tile_cap) id matrix
+  (+ validity mask) so compositing is dense math on the MXU. Overflow beyond
+  ``tile_cap`` is *counted and reported*, never silently relied upon.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from omnigs_tpu.ops.preprocess import Preprocessed
+
+
+class BinnedTiles(NamedTuple):
+    tile_ids: jnp.ndarray  # (num_tiles, tile_cap) int32 gaussian indices
+    tile_mask: jnp.ndarray  # (num_tiles, tile_cap) bool
+    tile_counts: jnp.ndarray  # (num_tiles,) int32 true per-tile instance count
+    num_instances: jnp.ndarray  # () int32 total emitted instances
+    overflow: jnp.ndarray  # () int32 instances dropped by tile_cap
+    truncated: jnp.ndarray  # () int32 instances dropped by max_instances
+
+
+def bin_gaussians(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_instances: int,
+    tile_cap: int,
+) -> BinnedTiles:
+    num_tiles = grid_x * grid_y
+    tiles = prep.tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(tiles) - tiles  # exclusive prefix sum
+    total = offsets[-1] + tiles[-1]
+
+    # Instance slot → source Gaussian (vectorized duplicate-with-keys).
+    j = jnp.arange(max_instances, dtype=jnp.int32)
+    g = jnp.searchsorted(offsets, j, side="right").astype(jnp.int32) - 1
+    g = jnp.clip(g, 0, tiles.shape[0] - 1)
+    alive = j < total
+
+    rect = prep.rect[g]
+    width = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
+    local = j - offsets[g]
+    tx = rect[:, 0] + local % width
+    ty = rect[:, 1] + local // width
+    tile_id = jnp.where(alive, ty * grid_x + tx, num_tiles)
+    depth = jnp.where(alive, prep.depths[g], jnp.inf)
+
+    sorted_tile, _, sorted_g = jax.lax.sort(
+        (tile_id, depth, g), num_keys=2, is_stable=True
+    )
+
+    # Per-tile ranges via binary search on the sorted tile ids.
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    # Dense (num_tiles, tile_cap) gather.
+    k = jnp.arange(tile_cap, dtype=jnp.int32)
+    gather_idx = starts[:, None] + k[None, :]
+    tile_mask = k[None, :] < jnp.minimum(counts, tile_cap)[:, None]
+    gather_idx = jnp.clip(gather_idx, 0, max_instances - 1)
+    tile_ids = sorted_g[gather_idx]
+
+    overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
+    truncated = jnp.maximum(total - max_instances, 0)
+    return BinnedTiles(
+        tile_ids=tile_ids,
+        tile_mask=tile_mask,
+        tile_counts=counts,
+        num_instances=jnp.minimum(total, max_instances),
+        overflow=overflow,
+        truncated=truncated,
+    )

@@ -1,0 +1,376 @@
+"""M1: tile-binned differentiable rasterizer in pure XLA with custom VJP.
+
+The TPU-native re-design of the reference rasterization core
+(`/root/reference/cuda_rasterizer/rasterizer_impl.cu:540-787`,
+`forward.cu:346-467`, `backward.cu:672-843`):
+
+* Compositing is **dense per-tile math**: each 16×16 tile holds 256 pixels; a
+  chunk of its depth-sorted instances is evaluated for all pixels at once and
+  the color accumulation `w @ colors` is a matmul on the MXU. The CUDA
+  per-pixel `done` flag / shared-memory staging has no analog here — early
+  termination is closed-form (see below), whole-tile skipping is the Pallas
+  kernel's job.
+* The backward produces per-(tile, instance) gradients with tile-level
+  reductions and scatter-adds them per Gaussian — deterministic, unlike the
+  reference's `atomicAdd` scatter (`backward.cu:805-840`).
+* The early-termination rule (stop once transmittance would fall below 1e-4,
+  `forward.cu:436-444`) is expressed with the *naive* running product N of
+  (1-α): an instance contributes iff its inclusive product N·Π(1-α) ≥ 1e-4.
+  Because factors are ≤ 1, the first crossing permanently disables all later
+  instances — exactly the reference's `done` flag.
+* Quirk parity: like the reference backward (`backward.cu:780,821`), the
+  α = min(0.99, ·) clamp is ignored in the backward (dG = opacity·dL_dα
+  unconditionally); the +0.3 low-pass and SH/clip clamp rules come out of JAX
+  autodiff identically to the hand-written CUDA rules.
+
+Outputs `final_T` / `n_contrib` are diagnostics (residual state in the
+reference, `rasterizer_impl.cu:418-433`) and are non-differentiable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnigs_tpu.cameras import Camera
+from omnigs_tpu.ops.binning import BinnedTiles, bin_gaussians
+from omnigs_tpu.ops.preprocess import TILE, Preprocessed, preprocess, tile_grid
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+T_STOP = 1.0e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterConfig:
+    """Static capacity knobs (all shapes derive from these — no host syncs)."""
+
+    max_instances: int = 1 << 20  # instance buffer capacity R
+    tile_cap: int = 1024  # max composited instances per tile
+    chunk: int = 32  # instances composited per scan step
+
+    def __post_init__(self):
+        assert self.tile_cap % self.chunk == 0
+
+
+class RenderResult(NamedTuple):
+    image: jnp.ndarray  # (H, W, 3)
+    radii: jnp.ndarray  # (P,) float; 0 ⇒ culled (visibility filter)
+    final_T: jnp.ndarray  # (H, W) transmittance (non-diff)
+    n_contrib: jnp.ndarray  # (H, W) int32 (non-diff)
+    overflow: jnp.ndarray  # () int32 instances dropped by tile_cap
+    truncated: jnp.ndarray  # () int32 instances dropped by max_instances
+
+
+def _tile_pixel_coords(grid_x: int, grid_y: int) -> jnp.ndarray:
+    """(num_tiles, TILE², 2) float pixel centers, tiles row-major."""
+    t = np.arange(grid_x * grid_y)
+    tx, ty = t % grid_x, t // grid_x
+    p = np.arange(TILE * TILE)
+    px, py = p % TILE, p // TILE
+    x = tx[:, None] * TILE + px[None, :]
+    y = ty[:, None] * TILE + py[None, :]
+    return jnp.asarray(np.stack([x, y], axis=-1), dtype=jnp.float32)
+
+
+def _chunk_geometry(ids, msk, means2d, conic, opacity, pix):
+    """Shared fwd/bwd per-chunk math. Returns per-(tile,pixel,instance) α etc."""
+    xy = means2d[ids]  # (T, KC, 2)
+    con = conic[ids]  # (T, KC, 3)
+    op = opacity[ids]  # (T, KC)
+    d = xy[:, None, :, :] - pix[:, :, None, :]  # (T, PX, KC, 2)
+    dx, dy = d[..., 0], d[..., 1]
+    power = (
+        -0.5 * (con[:, None, :, 0] * dx * dx + con[:, None, :, 2] * dy * dy)
+        - con[:, None, :, 1] * dx * dy
+    )
+    G = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(ALPHA_MAX, op[:, None, :] * G)
+    live = msk[:, None, :] & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a = jnp.where(live, alpha, 0.0)
+    return a, live, G, dx, dy, con, op
+
+
+def _composite_tiles_fwd_impl(
+    means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk
+):
+    """Forward compositing. Returns (color (T,PX,3), final_T, n_contrib)."""
+    T_tiles, cap = tile_ids.shape
+    n_chunks = cap // chunk
+    ids_x = tile_ids.reshape(T_tiles, n_chunks, chunk).transpose(1, 0, 2)
+    msk_x = tile_mask.reshape(T_tiles, n_chunks, chunk).transpose(1, 0, 2)
+    PX = pix.shape[1]
+
+    def step(carry, xs):
+        N, T_stop, color, n_contrib, kbase = carry
+        ids, msk = xs
+        a, live, _, _, _, _, _ = _chunk_geometry(
+            ids, msk, means2d, conic, opacity, pix
+        )
+        col = rgb[ids]  # (T, KC, 3)
+        one_m = 1.0 - a
+        cp = jnp.cumprod(one_m, axis=-1)
+        N_incl = N[..., None] * cp
+        N_excl = N_incl / one_m
+        contrib = N_incl >= T_STOP
+        w = a * N_excl * contrib
+        color = color + jnp.einsum(
+            "tpk,tkc->tpc", w, col, precision=jax.lax.Precision.HIGHEST
+        )
+        T_stop = T_stop * jnp.prod(jnp.where(contrib, one_m, 1.0), axis=-1)
+        N = N_incl[..., -1]
+        rank = kbase + jnp.arange(1, chunk + 1, dtype=jnp.int32)
+        n_contrib = jnp.maximum(
+            n_contrib,
+            jnp.max(
+                jnp.where(live & contrib, rank[None, None, :], 0), axis=-1
+            ),
+        )
+        return (N, T_stop, color, n_contrib, kbase + chunk), None
+
+    init = (
+        jnp.ones((T_tiles, PX)),
+        jnp.ones((T_tiles, PX)),
+        jnp.zeros((T_tiles, PX, 3)),
+        jnp.zeros((T_tiles, PX), dtype=jnp.int32),
+        jnp.int32(0),
+    )
+    (N, T_stop, color, n_contrib, _), _ = jax.lax.scan(
+        step, init, (ids_x, msk_x)
+    )
+    color = color + T_stop[..., None] * bg[None, None, :]
+    return color, T_stop, n_contrib
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _composite_tiles(means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, grid, chunk):
+    pix = _tile_pixel_coords(*grid)
+    return _composite_tiles_fwd_impl(
+        means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk
+    )
+
+
+def _composite_fwd(means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, grid, chunk):
+    pix = _tile_pixel_coords(*grid)
+    out = _composite_tiles_fwd_impl(
+        means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk
+    )
+    color, _, _ = out
+    res = (means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, color)
+    return out, res
+
+
+def _composite_bwd(grid, chunk, res, cts):
+    means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, color_full = res
+    dL_dcolor = cts[0]  # (T, PX, 3); final_T / n_contrib are non-diff
+    pix = _tile_pixel_coords(*grid)
+    P = means2d.shape[0]
+    T_tiles, cap = tile_ids.shape
+    n_chunks = cap // chunk
+    ids_x = tile_ids.reshape(T_tiles, n_chunks, chunk).transpose(1, 0, 2)
+    msk_x = tile_mask.reshape(T_tiles, n_chunks, chunk).transpose(1, 0, 2)
+    PX = pix.shape[1]
+
+    def step(carry, xs):
+        N, prefix, g_m2d, g_con, g_rgb, g_op = carry
+        ids, msk = xs
+        a, live, G, dx, dy, con, op = _chunk_geometry(
+            ids, msk, means2d, conic, opacity, pix
+        )
+        col = rgb[ids]
+        one_m = 1.0 - a
+        cp = jnp.cumprod(one_m, axis=-1)
+        N_incl = N[..., None] * cp
+        N_excl = N_incl / one_m
+        contrib = N_incl >= T_STOP
+        gate = live & contrib
+        w = a * N_excl * contrib
+
+        # w_j·c_j accumulated colors: inclusive in-chunk prefix (T,PX,KC,3)
+        wc = w[..., None] * col[:, None, :, :]
+        wc_prefix = jnp.cumsum(wc, axis=2)
+        B = color_full[:, :, None, :] - (prefix[:, :, None, :] + wc_prefix)
+
+        # dL/dα_i = Σ_ch dL_dC·(N_excl·c_i − B_i/(1−α_i))   [backward.cu:791-817]
+        term1 = N_excl * jnp.einsum(
+            "tkc,tpc->tpk", col, dL_dcolor, precision=jax.lax.Precision.HIGHEST
+        )
+        term2 = jnp.einsum(
+            "tpkc,tpc->tpk", B, dL_dcolor, precision=jax.lax.Precision.HIGHEST
+        ) / one_m
+        dL_da = jnp.where(gate, term1 - term2, 0.0)
+
+        # Quirk parity: ignore the 0.99 clamp (backward.cu:821).
+        dL_dG = op[:, None, :] * dL_da
+        dL_dop = jnp.sum(G * dL_da, axis=1)  # (T, KC)
+
+        gdx = G * dx
+        gdy = G * dy
+        A, Bc, C = con[:, None, :, 0], con[:, None, :, 1], con[:, None, :, 2]
+        dG_ddelx = -gdx * A - gdy * Bc
+        dG_ddely = -gdy * C - gdx * Bc
+        dL_dxy = jnp.stack(
+            [
+                jnp.sum(dL_dG * dG_ddelx, axis=1),
+                jnp.sum(dL_dG * dG_ddely, axis=1),
+            ],
+            axis=-1,
+        )  # (T, KC, 2)
+        # true conic grads (the reference's 0.5/×2 dance nets out to these)
+        dL_dcon = jnp.stack(
+            [
+                jnp.sum(-0.5 * gdx * dx * dL_dG, axis=1),
+                jnp.sum(-gdx * dy * dL_dG, axis=1),
+                jnp.sum(-0.5 * gdy * dy * dL_dG, axis=1),
+            ],
+            axis=-1,
+        )  # (T, KC, 3)
+        dL_drgb = jnp.einsum(
+            "tpk,tpc->tkc", w, dL_dcolor, precision=jax.lax.Precision.HIGHEST
+        )
+
+        # deterministic per-Gaussian reduction (replaces atomicAdd scatter)
+        sids = jnp.where(msk, ids, P).reshape(-1)
+        g_m2d = g_m2d.at[sids].add(dL_dxy.reshape(-1, 2), mode="drop")
+        g_con = g_con.at[sids].add(dL_dcon.reshape(-1, 3), mode="drop")
+        g_rgb = g_rgb.at[sids].add(dL_drgb.reshape(-1, 3), mode="drop")
+        g_op = g_op.at[sids].add(dL_dop.reshape(-1), mode="drop")
+
+        prefix = prefix + jnp.sum(wc, axis=2)
+        N = N_incl[..., -1]
+        return (N, prefix, g_m2d, g_con, g_rgb, g_op), None
+
+    init = (
+        jnp.ones((T_tiles, PX)),
+        jnp.zeros((T_tiles, PX, 3)),
+        jnp.zeros((P + 1, 2)),
+        jnp.zeros((P + 1, 3)),
+        jnp.zeros((P + 1, 3)),
+        jnp.zeros((P + 1,)),
+    )
+    (_, _, g_m2d, g_con, g_rgb, g_op), _ = jax.lax.scan(
+        step, init, (ids_x, msk_x)
+    )
+    zeros_i = jnp.zeros((0,), dtype=jax.dtypes.float0)
+
+    def int_ct(x):
+        return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+    return (
+        g_m2d[:P],
+        g_con[:P],
+        g_rgb[:P],
+        g_op[:P],
+        jnp.zeros_like(bg),
+        int_ct(tile_ids),
+        int_ct(tile_mask),
+    )
+
+
+_composite_tiles.defvjp(_composite_fwd, _composite_bwd)
+
+
+def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int, W: int, H: int):
+    """(num_tiles, TILE², C?) → (H, W, C?) crop."""
+    extra = tiles.shape[2:]
+    img = tiles.reshape(grid_y, grid_x, TILE, TILE, *extra)
+    img = jnp.moveaxis(img, 2, 1).reshape(grid_y * TILE, grid_x * TILE, *extra)
+    return img[:H, :W]
+
+
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    quats: jnp.ndarray,
+    opacities: jnp.ndarray,
+    shs: jnp.ndarray,
+    *,
+    camera: Camera,
+    viewmatrix: jnp.ndarray,
+    campos: jnp.ndarray,
+    bg: jnp.ndarray,
+    sh_degree: int,
+    config: RasterConfig = RasterConfig(),
+    scale_modifier: float = 1.0,
+    full_proj: Optional[jnp.ndarray] = None,
+    means2d_ndc: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    cov3d_precomp: Optional[jnp.ndarray] = None,
+    active_mask: Optional[jnp.ndarray] = None,
+    features_override: Optional[jnp.ndarray] = None,
+) -> RenderResult:
+    """Differentiable render of one view. The JAX analog of
+    `GaussianRasterizer::forward` (`src/gaussian_rasterizer.cpp:172-224`).
+
+    Args:
+      means2d_ndc: optional (P, 2) zeros whose gradient receives the
+        NDC-convention screen-space gradients used for densification stats —
+        the same trick as the reference's zero `means2D` input
+        (`src/gaussian_renderer.cpp:47-52`).
+      features_override: optional (P,) or (P, 3) per-Gaussian features to
+        composite instead of RGB (depth rendering, `forward.cu:472-590`).
+    """
+    W, H = camera.width, camera.height
+    gx, gy = tile_grid(camera)
+    prep = preprocess(
+        means3d,
+        scales,
+        quats,
+        opacities,
+        shs,
+        camera,
+        viewmatrix,
+        campos,
+        sh_degree,
+        scale_modifier,
+        full_proj=full_proj,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
+        active_mask=active_mask,
+    )
+    means2d = prep.means2d
+    if means2d_ndc is not None:
+        means2d = means2d + means2d_ndc * jnp.array([W * 0.5, H * 0.5])
+
+    binned = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, prep),
+        gx,
+        gy,
+        config.max_instances,
+        config.tile_cap,
+    )
+
+    rgb = prep.rgb
+    if features_override is not None:
+        f = features_override
+        if f.ndim == 1:
+            f = jnp.tile(f[:, None], (1, 3))
+        rgb = f
+
+    color_t, T_t, n_t = _composite_tiles(
+        means2d,
+        prep.conic,
+        rgb,
+        prep.opacity,
+        bg,
+        binned.tile_ids,
+        binned.tile_mask,
+        (gx, gy),
+        config.chunk,
+    )
+    image = _tiles_to_image(color_t, gx, gy, W, H)
+    final_T = jax.lax.stop_gradient(_tiles_to_image(T_t, gx, gy, W, H))
+    n_contrib = _tiles_to_image(n_t, gx, gy, W, H)
+    return RenderResult(
+        image=image,
+        radii=prep.radii,
+        final_T=final_T,
+        n_contrib=n_contrib,
+        overflow=binned.overflow,
+        truncated=binned.truncated,
+    )

@@ -47,6 +47,8 @@ def random_cloud(key, n, spread=4.0, n_sh=16, min_r=1.0):
     quats = jax.random.normal(k3, (n, 4))
     quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True)
     scales = jnp.exp(jax.random.normal(k4, (n, 3)) * 0.3 - 1.5)
-    opac = jax.nn.sigmoid(jax.random.normal(k5, (n,)) * 2.0)
+    # cap below 0.97 so α never hits the 0.99 clamp (whose backward the
+    # tile rasterizer intentionally treats reference-style, unlike autodiff)
+    opac = jax.nn.sigmoid(jax.random.normal(k5, (n,)) * 2.0) * 0.97
     sh = jax.random.normal(jax.random.PRNGKey(7), (n, n_sh, 3)) * 0.3
     return dict(means3d=means, scales=scales, quats=quats, opacities=opac, shs=sh)
