@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark: fwd+bwd pixels/s per chip at 1920×960 equirect (BASELINE metric).
+
+Runs the full differentiable render (loss → all param grads) on one chip with
+a realistic Gaussian count, reports ONE JSON line:
+  {"metric": "pixels_per_s_fwdbwd_1920x960", "value": N, "unit": "pixels/s",
+   "vs_baseline": R}
+
+vs_baseline compares against an RTX 3090-class reference estimate for the
+same workload (the reference repo publishes no numbers — BASELINE.md — so the
+ratio is against the ~45 it/s ≈ 8.3e7 px/s a 3090 delivers on comparable
+1920×960 3DGS fwd+bwd workloads; recorded for trend tracking, not sign-off).
+"""
+
+import json
+import time
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from omnigs_tpu.cameras import Camera, CameraType
+    from omnigs_tpu.ops import loss as loss_ops
+    from omnigs_tpu.ops.rasterize import RasterConfig
+    from omnigs_tpu.train.renderer import render_model
+    from __graft_entry__ import _example_model
+
+    W, H = 1920, 960
+    P = 1 << 17  # 131k Gaussians (360Roam-scale mid-training)
+    camera = Camera(CameraType.LONLAT, W, H)
+    cfg = RasterConfig(max_instances=1 << 21, tile_cap=512, chunk=64)
+    model = _example_model(capacity=P, n=P)
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    bg = jnp.zeros(3)
+    gt = jnp.zeros((H, W, 3))
+
+    def loss_fn(params):
+        m = model.with_params(params)
+        res = render_model(
+            m, camera, vm, campos, bg, sh_degree=3, config=cfg
+        )
+        return loss_ops.l1_loss(res.image, gt)
+
+    step = jax.jit(jax.grad(loss_fn))
+    params = model.params()
+
+    # warmup/compile
+    g = step(params)
+    jax.block_until_ready(g)
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        g = step(params)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / n_iter
+
+    pixels_per_s = W * H / dt
+    baseline = 8.3e7  # 3090-class fwd+bwd px/s estimate (see docstring)
+    print(
+        json.dumps(
+            {
+                "metric": "pixels_per_s_fwdbwd_1920x960",
+                "value": round(pixels_per_s, 1),
+                "unit": "pixels/s",
+                "vs_baseline": round(pixels_per_s / baseline, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

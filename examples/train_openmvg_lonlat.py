@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Train an omnidirectional Gaussian field from an openMVG scene.
+
+The TPU analog of the reference training binaries (`/root/reference/examples/
+train_360roam.cpp`, `train_egonerf_omniblender.cpp`, `train_egonerf_ricoh360.cpp`,
+`train_openmvg_lonlat.cpp` — they differ only in dataset paths; float/double
+PLY handling is automatic here).
+
+Usage:
+  python examples/train_openmvg_lonlat.py CFG_YAML OUTPUT_DIR SFM_JSON POINTS_PLY \
+      [--image-root DIR] [--iters N]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cfg")
+    ap.add_argument("output_dir")
+    ap.add_argument("sfm_json")
+    ap.add_argument("points_ply")
+    ap.add_argument("--image-root", default=None)
+    ap.add_argument("--iters", type=int, default=0)
+    ap.add_argument("--log-every", type=int, default=100)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from omnigs_tpu.config import load_config
+    from omnigs_tpu.io.openmvg import load_openmvg_scene
+    from omnigs_tpu.train.eval import render_and_record_all_keyframes
+    from omnigs_tpu.train.record import (
+        save_cameras_json,
+        save_model_params,
+        save_ply_checkpoint,
+        write_keyframe_used_times,
+    )
+    from omnigs_tpu.train.trainer import Trainer
+
+    cfg = load_config(args.cfg)
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    print("Loading scene…", flush=True)
+    scene = load_openmvg_scene(
+        args.sfm_json,
+        args.points_ply,
+        image_root=args.image_root,
+        znear=cfg.pipe.z_near,
+        zfar=cfg.pipe.z_far,
+    )
+    print(
+        f"{len(scene.keyframes)} keyframes, {len(scene.points)} SfM points",
+        flush=True,
+    )
+
+    tr = Trainer(scene, cfg, output_dir=out)
+    tr.init_from_sfm()
+    save_cameras_json(scene, out)
+    save_model_params(
+        out, cfg.model.sh_degree, cfg.model.white_background, args.sfm_json, str(out)
+    )
+
+    n_iters = args.iters or cfg.opt.max_num_iterations
+    record_interval = cfg.mapper.all_keyframes_record_interval
+    t0 = time.time()
+    for _ in range(n_iters):
+        aux = tr.train_iteration()
+        it = tr.iteration
+        if args.log_every and it % args.log_every == 0:
+            print(
+                f"iter {it}/{n_iters} loss={float(aux['loss']):.4f} "
+                f"ema={tr.ema_loss:.4f} n={int(tr.model.num_active)} "
+                f"{(time.time()-t0)/it*1000:.0f} ms/it",
+                flush=True,
+            )
+        if record_interval and it % record_interval == 0:
+            means = render_and_record_all_keyframes(
+                tr.model,
+                scene,
+                tr.sh_degree,
+                tr.raster_cfg,
+                tr.bg,
+                result_dir=out,
+                skip_bottom_ratio=cfg.opt.skip_bottom_ratio,
+            )
+            print(f"eval @ {it}: {means}", flush=True)
+            save_ply_checkpoint(tr.model, out, it)
+
+    # shutdown record (`trainSfmPcd` tail, gaussian_mapper.cpp:272-288)
+    write_keyframe_used_times(tr.sampler, out / "used_times", "_shutdown")
+    render_and_record_all_keyframes(
+        tr.model,
+        scene,
+        tr.sh_degree,
+        tr.raster_cfg,
+        tr.bg,
+        result_dir=out,
+        name_suffix="_shutdown",
+        skip_bottom_ratio=cfg.opt.skip_bottom_ratio,
+    )
+    save_ply_checkpoint(tr.model, out, tr.iteration)
+    print("done.", flush=True)
+
+
+if __name__ == "__main__":
+    main()

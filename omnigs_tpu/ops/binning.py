@@ -45,8 +45,16 @@ def bin_gaussians(
     grid_y: int,
     max_instances: int,
     tile_cap: int,
+    tile_lo=0,
+    n_tiles: int | None = None,
 ) -> BinnedTiles:
-    num_tiles = grid_x * grid_y
+    """Bin Gaussians into the tile window [tile_lo, tile_lo + n_tiles).
+
+    ``n_tiles`` is static (defaults to the whole grid); ``tile_lo`` may be a
+    traced device offset — this is how the tile axis shards across a mesh
+    (each device bins only its owned tile slice).
+    """
+    num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(tiles) - tiles  # exclusive prefix sum
     total = offsets[-1] + tiles[-1]
@@ -62,8 +70,10 @@ def bin_gaussians(
     local = j - offsets[g]
     tx = rect[:, 0] + local % width
     ty = rect[:, 1] + local // width
-    tile_id = jnp.where(alive, ty * grid_x + tx, num_tiles)
-    depth = jnp.where(alive, prep.depths[g], jnp.inf)
+    tile_id = ty * grid_x + tx - tile_lo  # window-local tile index
+    in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
+    tile_id = jnp.where(in_window, tile_id, num_tiles)
+    depth = jnp.where(in_window, prep.depths[g], jnp.inf)
 
     sorted_tile, _, sorted_g = jax.lax.sort(
         (tile_id, depth, g), num_keys=2, is_stable=True

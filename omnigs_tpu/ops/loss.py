@@ -1,0 +1,98 @@
+"""Training losses and image metrics, matching the reference formulas.
+
+`/root/reference/include/loss_utils.h`: L1 (:31-34), two PSNR variants
+(:39-52), SSIM via an 11×11 σ=1.5 Gaussian window depthwise conv (:54-129).
+Images here are (H, W, C) float32 in [0, 1] (the reference uses CHW; the
+formulas are layout-independent).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def l1_loss(pred: jnp.ndarray, gt: jnp.ndarray) -> jnp.ndarray:
+    return jnp.abs(pred - gt).mean()
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Mean-over-pixels PSNR (`loss_utils.h:39-43`)."""
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 10.0 * jnp.log10(1.0 / mse)
+
+
+def psnr_gaussian_splatting(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """3DGS-style per-channel PSNR (`loss_utils.h:48-52`).
+
+    The reference views a CHW tensor as (C, -1): per-channel MSE, then the
+    mean of the per-channel 20·log10(1/√mse).
+    """
+    mse = jnp.mean((img1 - img2) ** 2, axis=(0, 1))  # per channel (HWC)
+    return jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(mse)))
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(window_size) - window_size // 2
+    g = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    g = g / g.sum()
+    return np.outer(g, g).astype(np.float32)
+
+
+def _depthwise_conv(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """(H, W, C) ⊛ (k, k) depthwise with same-padding (groups=C conv2d)."""
+    c = img.shape[-1]
+    k = win.shape[0]
+    kernel = jnp.broadcast_to(win[:, :, None, None], (k, k, 1, c))
+    return jax.lax.conv_general_dilated(
+        img[None],
+        kernel,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
+    )[0]
+
+
+def ssim(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    window_size: int = 11,
+    size_average: bool = True,
+) -> jnp.ndarray:
+    """Differentiable SSIM, identical to `loss_utils.h:54-129`.
+
+    Note the reference's padded conv2d: border pixels use zero-padding (no
+    crop), reproduced by SAME padding here.
+    """
+    win = jnp.asarray(_gaussian_window(window_size))
+    mu1 = _depthwise_conv(img1, win)
+    mu2 = _depthwise_conv(img2, win)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _depthwise_conv(img1 * img1, win) - mu1_sq
+    sigma2_sq = _depthwise_conv(img2 * img2, win) - mu2_sq
+    sigma12 = _depthwise_conv(img1 * img2, win) - mu1_mu2
+    c1 = 0.01**2
+    c2 = 0.03**2
+    ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+    return ssim_map.mean() if size_average else ssim_map
+
+
+def training_loss(
+    pred: jnp.ndarray,
+    gt: jnp.ndarray,
+    lambda_dssim: float = 0.2,
+) -> jnp.ndarray:
+    """(1-λ)·L1 + λ·(1−SSIM) (`src/gaussian_mapper.cpp:403-413`)."""
+    return (1.0 - lambda_dssim) * l1_loss(pred, gt) + lambda_dssim * (
+        1.0 - ssim(pred, gt)
+    )

@@ -78,6 +78,18 @@ def _tile_pixel_coords(grid_x: int, grid_y: int) -> jnp.ndarray:
     return jnp.asarray(np.stack([x, y], axis=-1), dtype=jnp.float32)
 
 
+def tile_window_pixel_coords(tile_lo, n_tiles: int, grid_x: int) -> jnp.ndarray:
+    """Pixel coords for a (possibly traced) tile window — the sharded-tile
+    analog of `_tile_pixel_coords` used by parallel/shard.py."""
+    t = tile_lo + jnp.arange(n_tiles, dtype=jnp.int32)
+    tx, ty = t % grid_x, t // grid_x
+    p = jnp.arange(TILE * TILE, dtype=jnp.int32)
+    px, py = p % TILE, p // TILE
+    x = tx[:, None] * TILE + px[None, :]
+    y = ty[:, None] * TILE + py[None, :]
+    return jnp.stack([x, y], axis=-1).astype(jnp.float32)
+
+
 def _chunk_geometry(ids, msk, means2d, conic, opacity, pix):
     """Shared fwd/bwd per-chunk math. Returns per-(tile,pixel,instance) α etc."""
     xy = means2d[ids]  # (T, KC, 2)
@@ -147,28 +159,25 @@ def _composite_tiles_fwd_impl(
     return color, T_stop, n_contrib
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
-def _composite_tiles(means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, grid, chunk):
-    pix = _tile_pixel_coords(*grid)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _composite_tiles(means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk):
     return _composite_tiles_fwd_impl(
         means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk
     )
 
 
-def _composite_fwd(means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, grid, chunk):
-    pix = _tile_pixel_coords(*grid)
+def _composite_fwd(means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk):
     out = _composite_tiles_fwd_impl(
         means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, chunk
     )
     color, _, _ = out
-    res = (means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, color)
+    res = (means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, color)
     return out, res
 
 
-def _composite_bwd(grid, chunk, res, cts):
-    means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, color_full = res
+def _composite_bwd(chunk, res, cts):
+    means2d, conic, rgb, opacity, bg, tile_ids, tile_mask, pix, color_full = res
     dL_dcolor = cts[0]  # (T, PX, 3); final_T / n_contrib are non-diff
-    pix = _tile_pixel_coords(*grid)
     P = means2d.shape[0]
     T_tiles, cap = tile_ids.shape
     n_chunks = cap // chunk
@@ -256,8 +265,6 @@ def _composite_bwd(grid, chunk, res, cts):
     (_, _, g_m2d, g_con, g_rgb, g_op), _ = jax.lax.scan(
         step, init, (ids_x, msk_x)
     )
-    zeros_i = jnp.zeros((0,), dtype=jax.dtypes.float0)
-
     def int_ct(x):
         return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
@@ -269,6 +276,7 @@ def _composite_bwd(grid, chunk, res, cts):
         jnp.zeros_like(bg),
         int_ct(tile_ids),
         int_ct(tile_mask),
+        jnp.zeros_like(pix),
     )
 
 
@@ -360,7 +368,7 @@ def rasterize(
         bg,
         binned.tile_ids,
         binned.tile_mask,
-        (gx, gy),
+        _tile_pixel_coords(gx, gy),
         config.chunk,
     )
     image = _tiles_to_image(color_t, gx, gy, W, H)

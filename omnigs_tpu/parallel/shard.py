@@ -1,0 +1,300 @@
+"""Sharded rendering + training step over a (data, gauss) mesh.
+
+The multi-chip execution scheme (SURVEY.md §2.11 / §7.1 M4; no reference
+analog — the reference is single-GPU):
+
+  per device (shard_map over the mesh):
+    1. preprocess its **Gaussian shard** (P/n_gauss rows of the model);
+    2. all_gather the compact rasterization state (means2d, conic, rgb,
+       opacity, depth, rect ≈ 20 floats/Gaussian) over the ``gauss`` axis —
+       this is the instance-exchange collective, riding ICI;
+    3. bin + composite its **tile window** (T/n_gauss tiles) — binning sort
+       and compositing FLOPs shard perfectly;
+    4. all_gather tile colors to assemble the full image (needed because
+       SSIM's 11×11 conv crosses tile boundaries), compute the loss against
+       its **view shard** (data axis);
+    5. reverse-mode AD re-materializes the backward through the same
+       collectives (all_gather ⊤→ psum_scatter), so per-Gaussian gradients
+       arrive pre-reduced on the owning shard;
+    6. psum gradients over ``data`` (view parallelism), Adam on the local
+       shard — moments never leave the device.
+
+All collectives are XLA primitives inside shard_map, so the compiler
+overlaps the gradient all-reduce with remaining backward compute.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from omnigs_tpu.cameras import Camera
+from omnigs_tpu.model import densify as densify_ops
+from omnigs_tpu.model import optimizer as opt_ops
+from omnigs_tpu.model.gaussians import GaussianModel
+from omnigs_tpu.ops import loss as loss_ops
+from omnigs_tpu.ops.binning import bin_gaussians
+from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
+from omnigs_tpu.ops.rasterize import (
+    RasterConfig,
+    _composite_tiles,
+    _tiles_to_image,
+    tile_window_pixel_coords,
+)
+from omnigs_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
+
+
+def _render_image_sharded(
+    model_shard: GaussianModel,
+    viewmatrix,
+    campos,
+    camera: Camera,
+    bg,
+    sh_degree: int,
+    cfg: RasterConfig,
+    n_gauss: int,
+    means2d_ndc=None,
+):
+    """Device-local piece of the sharded forward. Runs inside shard_map."""
+    gx, gy = tile_grid(camera)
+    num_tiles = gx * gy
+    tiles_per_dev = -(-num_tiles // n_gauss)
+
+    prep = preprocess(
+        model_shard.xyz,
+        model_shard.get_scaling(),
+        model_shard.get_rotation(),
+        model_shard.get_opacity(),
+        model_shard.get_features(),
+        camera,
+        viewmatrix,
+        campos,
+        sh_degree,
+        active_mask=model_shard.active,
+    )
+    means2d = prep.means2d
+    if means2d_ndc is not None:
+        means2d = means2d + means2d_ndc * jnp.array(
+            [camera.width * 0.5, camera.height * 0.5]
+        )
+    prep = prep._replace(means2d=means2d)
+
+    # instance exchange: compact state of ALL Gaussians on every device
+    prep_full = jax.tree_util.tree_map(
+        lambda x: jax.lax.all_gather(x, GAUSS_AXIS, tiled=True), prep
+    )
+
+    idx = jax.lax.axis_index(GAUSS_AXIS)
+    tile_lo = idx * tiles_per_dev
+    binned = bin_gaussians(
+        jax.tree_util.tree_map(jax.lax.stop_gradient, prep_full),
+        gx,
+        gy,
+        cfg.max_instances,
+        cfg.tile_cap,
+        tile_lo=tile_lo,
+        n_tiles=tiles_per_dev,
+    )
+    pix = tile_window_pixel_coords(tile_lo, tiles_per_dev, gx)
+    color_t, T_t, n_t = _composite_tiles(
+        prep_full.means2d,
+        prep_full.conic,
+        prep_full.rgb,
+        prep_full.opacity,
+        bg,
+        binned.tile_ids,
+        binned.tile_mask,
+        pix,
+        cfg.chunk,
+    )
+    # assemble the full image (SSIM needs cross-tile context)
+    all_tiles = jax.lax.all_gather(color_t, GAUSS_AXIS, tiled=True)
+    image = _tiles_to_image(
+        all_tiles[:num_tiles], gx, gy, camera.width, camera.height
+    )
+    return image, prep_full.radii, binned
+
+
+def sharded_render(
+    mesh,
+    model: GaussianModel,
+    viewmatrix,
+    campos,
+    camera: Camera,
+    bg,
+    sh_degree: int,
+    cfg: RasterConfig,
+):
+    """Forward-only sharded render (evaluation / viewer path)."""
+    n_gauss = mesh.shape[GAUSS_AXIS]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(
+            jax.tree_util.tree_map(lambda _: P(GAUSS_AXIS), model),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def fwd(model_shard, vm, cp, bgc):
+        img, _, _ = _render_image_sharded(
+            model_shard, vm, cp, camera, bgc, sh_degree, cfg, n_gauss
+        )
+        return img
+
+    return fwd(model, viewmatrix, campos, bg)
+
+
+def make_sharded_train_step(
+    mesh,
+    camera: Camera,
+    sh_degree: int,
+    cfg: RasterConfig,
+    lr_cfg: opt_ops.LRConfig,
+    spatial_lr_scale: float,
+    bg=None,
+    lambda_dssim: float = 0.2,
+    skip_bottom_px: int = 0,
+    update_stats: bool = True,
+    do_adam: bool = True,
+):
+    """Build the jitted multi-device training step.
+
+    Views are sharded over ``data`` (one view per data group per step —
+    batched view parallelism); the model/optimizer shard over ``gauss``.
+    """
+    n_gauss = mesh.shape[GAUSS_AXIS]
+    bg_const = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+
+    def step(model, opt_state, viewmatrices, camposes, gt_images, it):
+        gauss_spec_model = jax.tree_util.tree_map(
+            lambda _: P(GAUSS_AXIS), model
+        )
+        gauss_spec_opt = jax.tree_util.tree_map(
+            lambda _: P(GAUSS_AXIS), opt_state
+        )
+        gauss_spec_opt = gauss_spec_opt.replace(count=P())
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                gauss_spec_model,
+                gauss_spec_opt,
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(DATA_AXIS),
+                P(),
+            ),
+            out_specs=(gauss_spec_model, gauss_spec_opt, P()),
+            check_vma=False,
+        )
+        def _step(model_shard, opt_shard, vms, cps, gts, it):
+            vm, cp, gt = vms[0], cps[0], gts[0]
+
+            def loss_fn(params, ndc):
+                m = model_shard.with_params(params)
+                image, radii, binned = _render_image_sharded(
+                    m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
+                    means2d_ndc=ndc,
+                )
+                pred, gtc = image, gt
+                if skip_bottom_px > 0:
+                    pred = pred[:-skip_bottom_px]
+                    gtc = gtc[:-skip_bottom_px]
+                l1 = loss_ops.l1_loss(pred, gtc)
+                total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
+                    1.0 - loss_ops.ssim(pred, gtc)
+                )
+                return total, (radii, binned.overflow)
+
+            params = model_shard.params()
+            ndc0 = jnp.zeros((model_shard.capacity, 2))
+            (loss, (radii_full, overflow)), (grads, ndc_g) = (
+                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+                    params, ndc0
+                )
+            )
+            # view-parallel gradient all-reduce (overlapped by XLA)
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            loss_mean = jax.lax.pmean(loss, DATA_AXIS)
+
+            model_new = model_shard
+            if update_stats:
+                # per-view stat accumulation summed over the view batch
+                # (`addDensificationStats`: Σ_views ‖ndc grad‖ per Gaussian)
+                p_loc = model_shard.capacity
+                lo = jax.lax.axis_index(GAUSS_AXIS) * p_loc
+                radii_loc = jax.lax.dynamic_slice_in_dim(
+                    radii_full, lo, p_loc
+                )
+                vis = radii_loc > 0
+                gnorm = jnp.linalg.norm(ndc_g[:, :2], axis=-1)
+                model_new = model_new.replace(
+                    xyz_gradient_accum=model_new.xyz_gradient_accum
+                    + jax.lax.psum(jnp.where(vis, gnorm, 0.0), DATA_AXIS),
+                    denom=model_new.denom
+                    + jax.lax.psum(vis.astype(jnp.float32), DATA_AXIS),
+                    max_radii2d=jnp.maximum(
+                        model_new.max_radii2d,
+                        jax.lax.pmax(radii_loc, DATA_AXIS),
+                    ),
+                )
+
+            opt_new = opt_shard
+            if do_adam:
+                lrs = opt_ops.group_lrs(lr_cfg, spatial_lr_scale, it)
+                new_params, opt_new = opt_ops.adam_step(
+                    model_new.params(),
+                    grads,
+                    opt_shard,
+                    lrs,
+                    model_new.active,
+                )
+                model_new = model_new.with_params(new_params)
+            return model_new, opt_new, loss_mean
+
+        return _step(model, opt_state, viewmatrices, camposes, gt_images, it)
+
+    return jax.jit(step)
+
+
+def make_sharded_densify(mesh, **static_kwargs):
+    """Per-shard densification: each gauss shard allocates into its own free
+    slots (slot placement is an implementation detail; thresholds are
+    elementwise so semantics match the global op)."""
+
+    def run(model, opt_state, key):
+        gauss_spec_model = jax.tree_util.tree_map(lambda _: P(GAUSS_AXIS), model)
+        gauss_spec_opt = jax.tree_util.tree_map(
+            lambda _: P(GAUSS_AXIS), opt_state
+        ).replace(count=P())
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(gauss_spec_model, gauss_spec_opt, P()),
+            out_specs=(gauss_spec_model, gauss_spec_opt, P()),
+            check_vma=False,
+        )
+        def _run(m, o, k):
+            k = jax.random.fold_in(k, jax.lax.axis_index(GAUSS_AXIS))
+            m2, o2, stats = densify_ops.densify_and_prune(
+                m, o, k, **static_kwargs
+            )
+            stats = jax.tree_util.tree_map(
+                lambda x: jax.lax.psum(x, GAUSS_AXIS), stats
+            )
+            return m2, o2, stats
+
+        return _run(model, opt_state, key)
+
+    return jax.jit(run)

@@ -1,0 +1,120 @@
+"""Evaluation + recording harness — `renderAndRecordAllKeyframes` analog.
+
+Reproduces the reference's metric machinery (`/root/reference/src/
+gaussian_mapper.cpp:734-857`): per-keyframe forward render (device-sync
+wall-clock timed), SSIM / PSNR / PSNR-GS vs the (masked, skip-bottom-cropped)
+ground truth, image dumps, and the four metric text files
+(`render_time.txt`, `dssim.txt`, `psnr.txt`, `psnr_gaussian_splatting.txt`)
+in the same one-line-per-keyframe format.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnigs_tpu.model.gaussians import GaussianModel
+from omnigs_tpu.ops import loss as loss_ops
+from omnigs_tpu.ops.rasterize import RasterConfig
+from omnigs_tpu.scene.scene import Scene
+from omnigs_tpu.train.renderer import render_model
+
+
+def save_image(path: Path, img: np.ndarray):
+    from PIL import Image
+
+    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+def render_and_record_keyframe(
+    model: GaussianModel,
+    kf,
+    sh_degree: int,
+    raster_cfg: RasterConfig,
+    bg: jnp.ndarray,
+    skip_bottom_ratio: float = 0.0,
+):
+    """One keyframe: timed render + metrics (`gaussian_mapper.cpp:734-806`)."""
+    vm = jnp.asarray(kf.viewmatrix)
+    campos = jnp.asarray(kf.campos)
+    t0 = time.monotonic()
+    res = render_model(
+        model, kf.camera, vm, campos, bg, sh_degree, raster_cfg
+    )
+    res.image.block_until_ready()
+    render_time_ms = (time.monotonic() - t0) * 1000.0
+
+    image = res.image
+    gt = jnp.asarray(kf.image) if kf.image is not None else None
+    metrics: Dict[str, float] = {"render_time_ms": render_time_ms}
+    if gt is not None:
+        if skip_bottom_ratio > 0.0:
+            skip = int(round(kf.camera.height * skip_bottom_ratio))
+            image_c, gt_c = image[:-skip], gt[:-skip]
+        else:
+            image_c, gt_c = image, gt
+        metrics["ssim"] = float(loss_ops.ssim(image_c, gt_c))
+        metrics["psnr"] = float(loss_ops.psnr(image_c, gt_c))
+        metrics["psnr_gs"] = float(
+            loss_ops.psnr_gaussian_splatting(image_c, gt_c)
+        )
+    return res, metrics
+
+
+def render_and_record_all_keyframes(
+    model: GaussianModel,
+    scene: Scene,
+    sh_degree: int,
+    raster_cfg: RasterConfig,
+    bg: jnp.ndarray,
+    result_dir: Optional[Path] = None,
+    name_suffix: str = "",
+    skip_bottom_ratio: float = 0.0,
+    record_rendered_image: bool = True,
+) -> Dict[str, float]:
+    """All keyframes; writes the reference's metric files
+    (`gaussian_mapper.cpp:808-857`). Returns mean metrics."""
+    rows = []
+    if result_dir is not None:
+        result_dir = Path(result_dir)
+        image_dir = result_dir / f"image{name_suffix}"
+        if record_rendered_image:
+            image_dir.mkdir(parents=True, exist_ok=True)
+
+    for fid in sorted(scene.keyframes):
+        kf = scene.keyframes[fid]
+        res, m = render_and_record_keyframe(
+            model, kf, sh_degree, raster_cfg, bg, skip_bottom_ratio
+        )
+        rows.append((fid, m))
+        if result_dir is not None and record_rendered_image:
+            save_image(image_dir / f"{fid}.png", res.image)
+
+    if result_dir is not None:
+        files = {
+            "render_time.txt": "render_time_ms",
+            "dssim.txt": "ssim",
+            "psnr.txt": "psnr",
+            "psnr_gaussian_splatting.txt": "psnr_gs",
+        }
+        for fname, key in files.items():
+            lines = [
+                f"{fid} {m[key]:.6f}" for fid, m in rows if key in m
+            ]
+            if lines:
+                (result_dir / (fname[:-4] + name_suffix + ".txt")).write_text(
+                    "\n".join(lines) + "\n"
+                )
+
+    means: Dict[str, float] = {}
+    for key in ("render_time_ms", "ssim", "psnr", "psnr_gs"):
+        vals = [m[key] for _, m in rows if key in m]
+        if vals:
+            means[key] = float(np.mean(vals))
+    return means

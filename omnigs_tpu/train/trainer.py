@@ -1,0 +1,305 @@
+"""Training orchestration — the `GaussianMapper` analog.
+
+Replicates the reference's training driver semantics
+(`/root/reference/src/gaussian_mapper.cpp:220-490`) on top of jitted steps:
+
+* per-iteration: random keyframe with times-of-use budget, SH degree bump
+  every 1000 iters, log-lerp xyz LR, render → masked/skip-bottom-cropped
+  0.8·L1 + 0.2·(1−SSIM), backward, densification-stat accumulation, Adam.
+* densify/prune every `densification_interval` in
+  (densify_from, densify_until), opacity reset every
+  `opacity_reset_interval`.
+* Quirk parity: in the reference, `densifyAndPrune`/`resetOpacity` replace
+  the param tensors *before* `optimizer_->step()`, so the fresh tensors have
+  no grads and torch silently skips their update that iteration
+  (`gaussian_mapper.cpp:436-451,484-488`). Reproduced here with static
+  `do_adam` / `skip_opacity_update` flags on the jitted step.
+
+The jitted step itself is pure; the loop is host-side Python exactly like
+the reference's C++ loop (one iteration ≙ one XLA invocation).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnigs_tpu.cameras import Camera
+from omnigs_tpu.config import Config
+from omnigs_tpu.model import densify as densify_ops
+from omnigs_tpu.model import optimizer as opt_ops
+from omnigs_tpu.model.gaussians import GaussianModel, from_pcd
+from omnigs_tpu.ops import loss as loss_ops
+from omnigs_tpu.ops.knn import mean_sq_knn_dist
+from omnigs_tpu.ops.rasterize import RasterConfig
+from omnigs_tpu.scene.scene import KeyframeSampler, Scene
+from omnigs_tpu.train.renderer import render_model
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera",
+        "sh_degree",
+        "raster_cfg",
+        "lr_cfg",
+        "spatial_lr_scale",
+        "lambda_dssim",
+        "skip_bottom_px",
+        "update_stats",
+        "do_adam",
+        "skip_opacity_update",
+    ),
+)
+def train_step(
+    model: GaussianModel,
+    opt_state: opt_ops.AdamState,
+    viewmatrix: jnp.ndarray,
+    campos: jnp.ndarray,
+    gt_image: jnp.ndarray,
+    step: jnp.ndarray,
+    *,
+    camera: Camera,
+    sh_degree: int,
+    raster_cfg: RasterConfig,
+    lr_cfg: opt_ops.LRConfig,
+    spatial_lr_scale: float,
+    bg: jnp.ndarray,
+    lambda_dssim: float = 0.2,
+    skip_bottom_px: int = 0,
+    update_stats: bool = True,
+    do_adam: bool = True,
+    skip_opacity_update: bool = False,
+):
+    """One fused train iteration: render → loss → backward → stats → Adam."""
+    params = model.params()
+    ndc_zeros = jnp.zeros((model.capacity, 2))
+
+    def loss_fn(p: Dict[str, jnp.ndarray], ndc):
+        m = model.with_params(p)
+        res = render_model(
+            m,
+            camera,
+            viewmatrix,
+            campos,
+            bg,
+            sh_degree,
+            raster_cfg,
+            means2d_ndc=ndc,
+        )
+        pred = res.image
+        gt = gt_image
+        if skip_bottom_px > 0:
+            pred = pred[:-skip_bottom_px]
+            gt = gt[:-skip_bottom_px]
+        l1 = loss_ops.l1_loss(pred, gt)
+        total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
+            1.0 - loss_ops.ssim(pred, gt)
+        )
+        return total, (l1, res.radii, res.image, res.overflow, res.truncated)
+
+    (loss, (l1, radii, image, overflow, truncated)), (grads, ndc_grads) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            params, ndc_zeros
+        )
+    )
+
+    if update_stats:
+        model = densify_ops.add_densification_stats(model, ndc_grads, radii)
+
+    if do_adam:
+        lrs = opt_ops.group_lrs(lr_cfg, spatial_lr_scale, step)
+        if skip_opacity_update:
+            lrs = dict(lrs)
+            lrs["opacity"] = jnp.zeros(())
+        new_params, opt_state = opt_ops.adam_step(
+            model.params(), grads, opt_state, lrs, model.active
+        )
+        model = model.with_params(new_params)
+
+    aux = dict(
+        loss=loss,
+        l1=l1,
+        radii=radii,
+        image=image,
+        overflow=overflow,
+        truncated=truncated,
+    )
+    return model, opt_state, aux
+
+
+densify_and_prune_jit = jax.jit(
+    densify_ops.densify_and_prune,
+    static_argnames=(
+        "max_grad",
+        "min_opacity",
+        "max_screen_size",
+        "percent_dense",
+        "prune_by_extent",
+    ),
+)
+reset_opacity_jit = jax.jit(densify_ops.reset_opacity)
+
+
+@dataclasses.dataclass
+class Trainer:
+    scene: Scene
+    config: Config
+    output_dir: Optional[Path] = None
+    seed: int = 0
+
+    def __post_init__(self):
+        cfg = self.config
+        if self.scene.cameras:
+            self.camera: Camera = next(iter(self.scene.cameras.values()))
+        else:
+            self.camera = next(iter(self.scene.keyframes.values())).camera
+        _, self.cameras_extent = self.scene.nerfpp_norm()
+        self.raster_cfg = RasterConfig(
+            max_instances=cfg.tpu.max_instances,
+            tile_cap=cfg.tpu.tile_cap,
+            chunk=cfg.tpu.chunk,
+        )
+        self.lr_cfg = opt_ops.LRConfig(
+            position_lr_init=cfg.opt.position_lr_init,
+            position_lr_final=cfg.opt.position_lr_final,
+            position_lr_delay_mult=cfg.opt.position_lr_delay_mult,
+            position_lr_max_steps=cfg.opt.position_lr_max_steps,
+            feature_lr=cfg.opt.feature_lr,
+            opacity_lr=cfg.opt.opacity_lr,
+            scaling_lr=cfg.opt.scaling_lr,
+            rotation_lr=cfg.opt.rotation_lr,
+        )
+        self.bg = (
+            jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
+        )
+        self.sampler = KeyframeSampler(
+            self.scene, cfg.mapper.new_keyframe_times_of_use, self.seed
+        )
+        self.iteration = 0
+        self.ema_loss = 0.0
+        self.key = jax.random.PRNGKey(self.seed)
+        self.model: Optional[GaussianModel] = None
+        self.opt_state: Optional[opt_ops.AdamState] = None
+        self._gt_cache: Dict[int, jnp.ndarray] = {}
+        self.history = []
+
+    # -- setup (`trainSfmPcd`, `gaussian_mapper.cpp:220-289`) --
+
+    def init_from_sfm(self):
+        pts = jnp.asarray(self.scene.points)
+        cols = jnp.asarray(self.scene.colors)
+        d2 = mean_sq_knn_dist(pts)
+        self.model = from_pcd(pts, cols, self.config.tpu.capacity, d2)
+        self.opt_state = opt_ops.init_adam(self.model.params())
+
+    @property
+    def sh_degree(self) -> int:
+        """+1 every 1000 iterations up to the max (`gaussian_mapper.cpp:332-337`)."""
+        return min(self.iteration // 1000, self.config.model.sh_degree)
+
+    def _gt(self, kf) -> jnp.ndarray:
+        if kf.fid not in self._gt_cache:
+            self._gt_cache[kf.fid] = jnp.asarray(kf.image)
+        return self._gt_cache[kf.fid]
+
+    # -- the loop --
+
+    def train_iteration(self):
+        cfg = self.config
+        self.iteration += 1
+        it = self.iteration
+        kf = self.sampler.sample()
+
+        in_densify_phase = it < cfg.opt.densify_until_iter
+        do_densify = (
+            in_densify_phase
+            and it > cfg.opt.densify_from_iter
+            and it % cfg.opt.densification_interval == 0
+        )
+        do_reset = in_densify_phase and (
+            (
+                cfg.opt.opacity_reset_interval
+                and it % cfg.opt.opacity_reset_interval == 0
+            )
+            or (
+                cfg.model.white_background
+                and it == cfg.opt.densify_from_iter
+            )
+        )
+
+        skip_bottom_px = (
+            int(round(kf.camera.height * cfg.opt.skip_bottom_ratio))
+            if cfg.opt.skip_bottom_ratio > 0
+            else 0
+        )
+
+        self.model, self.opt_state, aux = train_step(
+            self.model,
+            self.opt_state,
+            jnp.asarray(kf.viewmatrix),
+            jnp.asarray(kf.campos),
+            self._gt(kf),
+            jnp.asarray(it),
+            camera=kf.camera,
+            sh_degree=self.sh_degree,
+            raster_cfg=self.raster_cfg,
+            lr_cfg=self.lr_cfg,
+            spatial_lr_scale=self.cameras_extent,
+            bg=self.bg,
+            lambda_dssim=cfg.opt.lambda_dssim,
+            skip_bottom_px=skip_bottom_px,
+            update_stats=in_densify_phase,
+            # reference quirk: replaced tensors skip their Adam update
+            do_adam=not do_densify and it < cfg.opt.max_num_iterations,
+            skip_opacity_update=do_reset,
+        )
+
+        if do_densify:
+            size_threshold = (
+                20 if it > cfg.opt.prune_big_point_after_iter else 0
+            )
+            self.key, sub = jax.random.split(self.key)
+            self.model, self.opt_state, dstats = densify_and_prune_jit(
+                self.model,
+                self.opt_state,
+                sub,
+                max_grad=cfg.opt.densify_grad_threshold,
+                min_opacity=cfg.opt.densify_min_opacity,
+                extent=self.cameras_extent,
+                max_screen_size=size_threshold,
+                percent_dense=cfg.opt.percent_dense,
+                prune_by_extent=cfg.opt.prune_by_extent,
+                iteration=it,
+            )
+
+        if do_reset:
+            self.model, self.opt_state = reset_opacity_jit(
+                self.model, self.opt_state
+            )
+
+        loss = float(aux["loss"])
+        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        return aux
+
+    def train(self, num_iterations: Optional[int] = None, log_every: int = 0):
+        n = num_iterations or self.config.opt.max_num_iterations
+        t0 = time.time()
+        for _ in range(n):
+            aux = self.train_iteration()
+            if log_every and self.iteration % log_every == 0:
+                print(
+                    f"iter {self.iteration}: loss={float(aux['loss']):.4f} "
+                    f"ema={self.ema_loss:.4f} "
+                    f"n_active={int(self.model.num_active)} "
+                    f"({(time.time() - t0):.1f}s)",
+                    flush=True,
+                )
+        return self.model
