@@ -30,6 +30,16 @@ import jax.numpy as jnp
 from omnigs_tpu.ops.preprocess import Preprocessed
 
 
+class BinnedInstances(NamedTuple):
+    """Instance-major binning result (the Pallas kernels' native layout)."""
+
+    sorted_g: jnp.ndarray  # (max_instances,) int32 gaussian index per instance
+    starts: jnp.ndarray  # (num_tiles,) int32 first instance of each tile
+    counts: jnp.ndarray  # (num_tiles,) int32 instances per tile
+    num_instances: jnp.ndarray  # () int32 total emitted instances
+    truncated: jnp.ndarray  # () int32 instances dropped by max_instances
+
+
 class BinnedTiles(NamedTuple):
     tile_ids: jnp.ndarray  # (num_tiles, tile_cap) int32 gaussian indices
     tile_mask: jnp.ndarray  # (num_tiles, tile_cap) bool
@@ -39,20 +49,20 @@ class BinnedTiles(NamedTuple):
     truncated: jnp.ndarray  # () int32 instances dropped by max_instances
 
 
-def bin_gaussians(
+def bin_instances(
     prep: Preprocessed,
     grid_x: int,
     grid_y: int,
     max_instances: int,
-    tile_cap: int,
     tile_lo=0,
     n_tiles: int | None = None,
-) -> BinnedTiles:
-    """Bin Gaussians into the tile window [tile_lo, tile_lo + n_tiles).
+) -> BinnedInstances:
+    """Duplicate-with-keys + sort + tile ranges, instance-major.
 
-    ``n_tiles`` is static (defaults to the whole grid); ``tile_lo`` may be a
-    traced device offset — this is how the tile axis shards across a mesh
-    (each device bins only its owned tile slice).
+    Bins into the tile window [tile_lo, tile_lo + n_tiles). ``n_tiles`` is
+    static (defaults to the whole grid); ``tile_lo`` may be a traced device
+    offset — this is how the tile axis shards across a mesh (each device
+    bins only its owned tile slice).
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
@@ -85,20 +95,80 @@ def bin_gaussians(
     ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
     counts = ends - starts
 
-    # Dense (num_tiles, tile_cap) gather.
-    k = jnp.arange(tile_cap, dtype=jnp.int32)
-    gather_idx = starts[:, None] + k[None, :]
-    tile_mask = k[None, :] < jnp.minimum(counts, tile_cap)[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, max_instances - 1)
-    tile_ids = sorted_g[gather_idx]
+    return BinnedInstances(
+        sorted_g=sorted_g,
+        starts=starts,
+        counts=counts,
+        num_instances=jnp.minimum(total, max_instances),
+        truncated=jnp.maximum(total - max_instances, 0),
+    )
 
-    overflow = jnp.sum(jnp.maximum(counts - tile_cap, 0))
-    truncated = jnp.maximum(total - max_instances, 0)
+
+def align_instances(
+    inst: BinnedInstances, chunk: int, max_aligned: int
+) -> BinnedInstances:
+    """Re-lay instances so each tile's slab starts at a chunk-aligned offset.
+
+    The Pallas kernels DMA (NROWS, chunk) slabs from the instance array; TPU
+    memref slicing requires lane offsets divisible by the tile width (128),
+    so tight per-tile ranges don't work. This pads each tile's range up to a
+    multiple of ``chunk``; pad slots alias a clipped source instance and are
+    masked in-kernel by the true per-tile count.
+    """
+    counts = inst.counts
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    astarts = jnp.cumsum(padded) - padded
+
+    j = jnp.arange(max_aligned, dtype=jnp.int32)
+    tile = jnp.searchsorted(astarts, j, side="right").astype(jnp.int32) - 1
+    tile = jnp.clip(tile, 0, counts.shape[0] - 1)
+    k = j - astarts[tile]
+    src = jnp.clip(
+        inst.starts[tile] + jnp.minimum(k, jnp.maximum(counts[tile] - 1, 0)),
+        0,
+        inst.sorted_g.shape[0] - 1,
+    )
+    sorted_g = inst.sorted_g[src]
+    total_aligned = astarts[-1] + padded[-1]
+    # clamp tiles that would run past the aligned buffer (counted, not silent)
+    safe_counts = jnp.clip(counts, 0, jnp.maximum(max_aligned - astarts, 0))
+    astarts = jnp.minimum(astarts, max_aligned)
+    return BinnedInstances(
+        sorted_g=sorted_g,
+        starts=astarts,
+        counts=safe_counts,
+        num_instances=inst.num_instances,
+        truncated=inst.truncated
+        + jnp.maximum(total_aligned - max_aligned, 0),
+    )
+
+
+def bin_gaussians(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_instances: int,
+    tile_cap: int,
+    tile_lo=0,
+    n_tiles: int | None = None,
+) -> BinnedTiles:
+    """Dense (num_tiles, tile_cap) layout on top of `bin_instances` — the
+    XLA compositor's input. Overflow beyond ``tile_cap`` is counted."""
+    inst = bin_instances(
+        prep, grid_x, grid_y, max_instances, tile_lo, n_tiles
+    )
+    k = jnp.arange(tile_cap, dtype=jnp.int32)
+    gather_idx = inst.starts[:, None] + k[None, :]
+    tile_mask = k[None, :] < jnp.minimum(inst.counts, tile_cap)[:, None]
+    gather_idx = jnp.clip(gather_idx, 0, max_instances - 1)
+    tile_ids = inst.sorted_g[gather_idx]
+
+    overflow = jnp.sum(jnp.maximum(inst.counts - tile_cap, 0))
     return BinnedTiles(
         tile_ids=tile_ids,
         tile_mask=tile_mask,
-        tile_counts=counts,
-        num_instances=jnp.minimum(total, max_instances),
+        tile_counts=inst.counts,
+        num_instances=inst.num_instances,
         overflow=overflow,
-        truncated=truncated,
+        truncated=inst.truncated,
     )

@@ -110,15 +110,32 @@ def preprocess(
     gx, gy = tile_grid(camera)
     t = world_to_cam(means3d, viewmatrix)
 
+    # NaN hygiene: culled points (e.g. inactive capacity slots sitting at the
+    # camera origin) would produce NaN *gradients* through the projection
+    # even though their outputs are masked — jnp.where does not block
+    # backward NaNs. Substitute a safe point for culled rows before any
+    # singular math; `in_front` is computed from the true t.
+    safe_point = jnp.array([0.0, 0.0, 1.0], dtype=t.dtype)
     if camera.camera_type == CameraType.LONLAT:
-        means2d, depths, in_front = lonlat_project(t, W, H)
-        J = lonlat_jacobian(t, W, H)
+        in_front = jnp.sum(t * t, axis=-1) > 0.04  # `too_close` cull
+        t_safe = jnp.where(in_front[..., None], t, safe_point)
+        means2d, depths, _ = lonlat_project(t_safe, W, H)
+        J = lonlat_jacobian(t_safe, W, H)
     elif camera.camera_type == CameraType.PINHOLE:
         if full_proj is None:
             raise ValueError("pinhole camera requires full_proj")
-        means2d, depths, in_front = pinhole_project(t, W, H, full_proj, means3d)
+        in_front = t[..., 2] > 0.2  # `in_frustum` near cull
+        t_safe = jnp.where(in_front[..., None], t, safe_point)
+        means3d_safe = jnp.where(
+            in_front[..., None],
+            means3d,
+            campos + viewmatrix[:3, :3].T @ safe_point,
+        )
+        means2d, depths, _ = pinhole_project(
+            t_safe, W, H, full_proj, means3d_safe
+        )
         J = pinhole_jacobian(
-            t, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
+            t_safe, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
         )
     else:
         raise NotImplementedError(f"camera_type {camera.camera_type}")
@@ -139,7 +156,12 @@ def preprocess(
         valid = valid & active_mask
 
     if colors_precomp is None:
-        rgb = sh_ops.sh_to_rgb(sh_degree, shs, means3d, campos)
+        # same NaN hygiene: the view-direction normalization is singular at
+        # mean == campos (inactive slots)
+        means3d_sh = jnp.where(
+            in_front[..., None], means3d, campos + safe_point
+        )
+        rgb = sh_ops.sh_to_rgb(sh_degree, shs, means3d_sh, campos)
     else:
         rgb = colors_precomp
 

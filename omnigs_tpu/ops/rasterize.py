@@ -51,11 +51,14 @@ class RasterConfig:
     """Static capacity knobs (all shapes derive from these — no host syncs)."""
 
     max_instances: int = 1 << 20  # instance buffer capacity R
-    tile_cap: int = 1024  # max composited instances per tile
-    chunk: int = 32  # instances composited per scan step
+    tile_cap: int = 1024  # max composited instances per tile (XLA backend)
+    chunk: int = 32  # instances composited per scan step (XLA backend)
+    backend: str = "xla"  # "xla" | "pallas"
+    interpret: bool = False  # Pallas interpreter mode (CPU tests)
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
+        assert self.backend in ("xla", "pallas")
 
 
 class RenderResult(NamedTuple):
@@ -345,13 +348,7 @@ def rasterize(
     if means2d_ndc is not None:
         means2d = means2d + means2d_ndc * jnp.array([W * 0.5, H * 0.5])
 
-    binned = bin_gaussians(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, prep),
-        gx,
-        gy,
-        config.max_instances,
-        config.tile_cap,
-    )
+    prep_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, prep)
 
     rgb = prep.rgb
     if features_override is not None:
@@ -360,17 +357,55 @@ def rasterize(
             f = jnp.tile(f[:, None], (1, 3))
         rgb = f
 
-    color_t, T_t, n_t = _composite_tiles(
-        means2d,
-        prep.conic,
-        rgb,
-        prep.opacity,
-        bg,
-        binned.tile_ids,
-        binned.tile_mask,
-        _tile_pixel_coords(gx, gy),
-        config.chunk,
-    )
+    if config.backend == "pallas":
+        from omnigs_tpu.ops.binning import align_instances, bin_instances
+        from omnigs_tpu.ops.pallas_raster import CHUNK as PCHUNK
+        from omnigs_tpu.ops.pallas_raster import composite_instances
+
+        inst = bin_instances(prep_sg, gx, gy, config.max_instances)
+        # chunk-aligned per-tile slabs (TPU DMA lane-alignment requirement)
+        r_aligned = config.max_instances + gx * gy * PCHUNK
+        inst = align_instances(inst, PCHUNK, r_aligned)
+        t_ids = np.arange(gx * gy)
+        x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
+        y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)
+        color_t, T_t, n_t = composite_instances(
+            means2d,
+            prep.conic,
+            rgb,
+            prep.opacity,
+            bg,
+            inst.sorted_g,
+            inst.starts,
+            inst.counts,
+            x0,
+            y0,
+            gx * gy,
+            config.interpret,
+        )
+        overflow = jnp.zeros((), jnp.int32)  # no per-tile cap in this path
+        truncated = inst.truncated
+    else:
+        binned = bin_gaussians(
+            prep_sg,
+            gx,
+            gy,
+            config.max_instances,
+            config.tile_cap,
+        )
+        color_t, T_t, n_t = _composite_tiles(
+            means2d,
+            prep.conic,
+            rgb,
+            prep.opacity,
+            bg,
+            binned.tile_ids,
+            binned.tile_mask,
+            _tile_pixel_coords(gx, gy),
+            config.chunk,
+        )
+        overflow = binned.overflow
+        truncated = binned.truncated
     image = _tiles_to_image(color_t, gx, gy, W, H)
     final_T = jax.lax.stop_gradient(_tiles_to_image(T_t, gx, gy, W, H))
     n_contrib = _tiles_to_image(n_t, gx, gy, W, H)
@@ -379,6 +414,6 @@ def rasterize(
         radii=prep.radii,
         final_T=final_T,
         n_contrib=n_contrib,
-        overflow=binned.overflow,
-        truncated=binned.truncated,
+        overflow=overflow,
+        truncated=truncated,
     )

@@ -1,0 +1,112 @@
+"""Pallas compositing kernels vs the XLA compositor (interpret mode on CPU)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omnigs_tpu.cameras import Camera, CameraType
+from omnigs_tpu.ops.rasterize import RasterConfig, rasterize
+
+from helpers import random_cloud, simple_cloud
+
+XLA_CFG = RasterConfig(max_instances=1 << 13, tile_cap=256, chunk=8)
+PAL_CFG = RasterConfig(
+    max_instances=1 << 13, backend="pallas", interpret=True
+)
+
+
+def _render(params, camera, vm, campos, bg, deg, cfg, ndc=None):
+    return rasterize(
+        params["means3d"],
+        params["scales"],
+        params["quats"],
+        params["opacities"],
+        params["shs"],
+        camera=camera,
+        viewmatrix=vm,
+        campos=campos,
+        bg=bg,
+        sh_degree=deg,
+        config=cfg,
+        means2d_ndc=ndc,
+    )
+
+
+def test_pallas_fwd_matches_xla_simple_cloud():
+    params, camera, vm, campos = simple_cloud(width=64, height=32)
+    bg = jnp.array([0.1, 0.2, 0.3])
+    ref = _render(params, camera, vm, campos, bg, 0, XLA_CFG)
+    got = _render(params, camera, vm, campos, bg, 0, PAL_CFG)
+    np.testing.assert_allclose(got.image, ref.image, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got.final_T, ref.final_T, rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got.n_contrib, ref.n_contrib)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_pallas_fwd_matches_xla_random(seed):
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    params = random_cloud(jax.random.PRNGKey(seed), 32)
+    bg = jnp.zeros(3)
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    ref = _render(params, camera, vm, campos, bg, 2, XLA_CFG)
+    got = _render(params, camera, vm, campos, bg, 2, PAL_CFG)
+    np.testing.assert_allclose(got.image, ref.image, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(got.final_T, ref.final_T, rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_bwd_matches_xla():
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    params = random_cloud(jax.random.PRNGKey(2), 24)
+    bg = jnp.array([0.3, 0.3, 0.3])
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(32, 64, 3)
+
+    def loss(cfg):
+        def f(means, scales, quats, opac, shs):
+            p = dict(
+                means3d=means, scales=scales, quats=quats, opacities=opac,
+                shs=shs,
+            )
+            res = _render(p, camera, vm, campos, bg, 2, cfg)
+            return jnp.mean((res.image - target) ** 2)
+
+        return f
+
+    args = (
+        params["means3d"],
+        params["scales"],
+        params["quats"],
+        params["opacities"],
+        params["shs"],
+    )
+    g_ref = jax.grad(loss(XLA_CFG), argnums=(0, 1, 2, 3, 4))(*args)
+    g_pal = jax.grad(loss(PAL_CFG), argnums=(0, 1, 2, 3, 4))(*args)
+    for go, gp, name in zip(
+        g_ref, g_pal, ["means", "scales", "quats", "opacity", "sh"]
+    ):
+        scale = float(jnp.abs(go).max()) + 1e-12
+        np.testing.assert_allclose(
+            gp, go, rtol=1e-3, atol=1e-4 * scale, err_msg=name
+        )
+
+
+def test_pallas_ndc_grads():
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    params = random_cloud(jax.random.PRNGKey(3), 16)
+    zeros = jnp.zeros((16, 2))
+
+    def loss(ndc):
+        res = _render(
+            params, camera, jnp.eye(4), jnp.zeros(3), jnp.zeros(3), 1,
+            PAL_CFG, ndc,
+        )
+        return jnp.sum(res.image)
+
+    g = jax.grad(loss)(zeros)
+    assert bool(jnp.isfinite(g).all())
+    assert float(jnp.abs(g).max()) > 0
