@@ -22,11 +22,13 @@ from omnigs_tpu.scene.scene import Scene
 
 
 def _load_image(path: Path, size=None) -> np.ndarray:
+    if size is not None:
+        from omnigs_tpu.io.native_loader import load_image
+
+        return load_image(path, size[0], size[1])
     from PIL import Image
 
     img = Image.open(path).convert("RGB")
-    if size is not None:
-        img = img.resize(size, Image.LANCZOS)
     return np.asarray(img, dtype=np.float32) / 255.0
 
 

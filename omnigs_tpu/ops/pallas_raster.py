@@ -168,7 +168,14 @@ def _fwd_kernel(
         jnp.zeros((PX, 3), jnp.float32),
         jnp.zeros((PX, 1), jnp.int32),
     )
-    _, N, Tstop, color, ncontrib = jax.lax.while_loop(cond, body, init)
+    c_final, N, Tstop, color, ncontrib = jax.lax.while_loop(cond, body, init)
+
+    # Early termination leaves the prefetched next-chunk DMA in flight;
+    # exiting the kernel with an outstanding DMA aborts the TPU. Drain it.
+    @pl.when(c_final < n_chunks)
+    def _():
+        get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
     color_ref[0] = color
     finalT_ref[0] = Tstop
     ncontrib_ref[0] = ncontrib
@@ -309,7 +316,12 @@ def _bwd_kernel(
         jnp.ones((PX, 1), jnp.float32),
         jnp.zeros((PX, 1), jnp.float32),
     )
-    jax.lax.while_loop(cond, body, init)
+    c_final, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched in-flight DMA on early termination (see fwd)
+    @pl.when(c_final < n_chunks)
+    def _():
+        get_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
 
 def _pad_instances(max_instances: int) -> int:
