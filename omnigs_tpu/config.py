@@ -62,6 +62,20 @@ class PipelineParams:
 
 
 @dataclasses.dataclass
+class GausPyramidParams:
+    """Coarse-to-fine pyramid training (`src/gaussian_mapper.cpp:140-151`):
+    level l trains at resolution factor 0.5^(L-l) with a per-keyframe
+    times-of-use budget before graduating to full resolution."""
+
+    do: bool = False
+    num_sub_levels: int = 0
+    sub_level_times_of_use: int = 8
+
+    def factor(self, level: int) -> float:
+        return 0.5 ** (self.num_sub_levels - level)
+
+
+@dataclasses.dataclass
 class MapperParams:
     new_keyframe_times_of_use: int = 1
     keyframe_record_interval: int = 0
@@ -90,6 +104,9 @@ class Config:
     opt: OptimizationParams = dataclasses.field(default_factory=OptimizationParams)
     pipe: PipelineParams = dataclasses.field(default_factory=PipelineParams)
     mapper: MapperParams = dataclasses.field(default_factory=MapperParams)
+    pyramid: GausPyramidParams = dataclasses.field(
+        default_factory=GausPyramidParams
+    )
     tpu: TpuParams = dataclasses.field(default_factory=TpuParams)
 
 
@@ -124,6 +141,9 @@ _KEYMAP = {
     "Pipeline.convert_SHs": ("pipe", "convert_SHs", bool),
     "Pipeline.compute_cov3D": ("pipe", "compute_cov3D", bool),
     "Mapper.new_keyframe_times_of_use": ("mapper", "new_keyframe_times_of_use", int),
+    "GausPyramid.do": ("pyramid", "do", bool),
+    "GausPyramid.num_sub_levels": ("pyramid", "num_sub_levels", int),
+    "GausPyramid.sub_level_times_of_use": ("pyramid", "sub_level_times_of_use", int),
     "Record.keyframe_record_interval": ("mapper", "keyframe_record_interval", int),
     "Record.all_keyframes_record_interval": (
         "mapper",

@@ -417,26 +417,24 @@ def _bwd_in_specs_patch():  # pragma: no cover - documentation helper
 
 
 def _build_inst(means2d, conic, rgb, opacity, sorted_g):
-    """Gather per-Gaussian state into the (NROWS, R_pad) instance slab."""
-    g = sorted_g
-    r = g.shape[0]
-    rows = jnp.stack(
+    """Gather per-Gaussian state into the (NROWS, R_pad) instance slab.
+
+    Packs the 9 per-Gaussian fields into one (P, NROWS) table and fetches it
+    with a single row gather — TPU row gathers are ~9× faster than the naive
+    9 per-column gathers; the (R, NROWS)→(NROWS, R) transpose fuses free.
+    """
+    p = opacity.shape[0]
+    packed = jnp.concatenate(
         [
-            means2d[g, 0],
-            means2d[g, 1],
-            conic[g, 0],
-            conic[g, 1],
-            conic[g, 2],
-            opacity[g],
-            rgb[g, 0],
-            rgb[g, 1],
-            rgb[g, 2],
+            means2d,  # x, y
+            conic,  # A, B, C
+            opacity[:, None],
+            rgb,  # r, g, b
+            jnp.zeros((p, NROWS - 9), means2d.dtype),
         ],
-        axis=0,
-    )
-    rows = jnp.concatenate(
-        [rows, jnp.zeros((NROWS - rows.shape[0], r), rows.dtype)], axis=0
-    )
+        axis=-1,
+    )  # (P, NROWS)
+    rows = packed[sorted_g].T  # (NROWS, R)
     return jnp.pad(rows, ((0, 0), (0, CHUNK)))
 
 
@@ -503,34 +501,14 @@ def _ci_bwd(num_tiles, interpret, res, cts):
         interpret,
     )
     r = sorted_g.shape[0]
-    dinst = dinst[:, :r]  # drop pad
-    # deterministic instance → Gaussian reduction (replaces atomicAdd)
-    dm2d = (
-        jnp.zeros((P, 2))
-        .at[sorted_g, 0]
-        .add(dinst[0])
-        .at[sorted_g, 1]
-        .add(dinst[1])
-    )
-    dcon = (
-        jnp.zeros((P, 3))
-        .at[sorted_g, 0]
-        .add(dinst[2])
-        .at[sorted_g, 1]
-        .add(dinst[3])
-        .at[sorted_g, 2]
-        .add(dinst[4])
-    )
-    dop = jnp.zeros((P,)).at[sorted_g].add(dinst[5])
-    drgb = (
-        jnp.zeros((P, 3))
-        .at[sorted_g, 0]
-        .add(dinst[6])
-        .at[sorted_g, 1]
-        .add(dinst[7])
-        .at[sorted_g, 2]
-        .add(dinst[8])
-    )
+    # deterministic instance → Gaussian reduction (replaces atomicAdd):
+    # one row-major scatter-add of the whole (R, NROWS) gradient slab
+    rows = dinst[:, :r].T  # (R, NROWS)
+    acc = jnp.zeros((P, NROWS)).at[sorted_g].add(rows)
+    dm2d = acc[:, 0:2]
+    dcon = acc[:, 2:5]
+    dop = acc[:, 5]
+    drgb = acc[:, 6:9]
     return (
         dm2d,
         dcon,

@@ -31,6 +31,20 @@ class Keyframe:
     # keyframe-use budget (`useOneRandomSlidingWindowKeyframe`,
     # `src/gaussian_mapper.cpp:527-577`)
     remaining_times_of_use: int = 0
+    # coarse-to-fine pyramid budgets per sub-level
+    # (`getCurrentGausPyramidLevel`, `src/gaussian_keyframe.cpp:227-237`)
+    pyramid_budgets: Optional[list] = None
+
+    def current_pyramid_level(self, num_sub_levels: int) -> int:
+        """Lowest sub-level with remaining budget (consumed), else the full
+        resolution level == num_sub_levels."""
+        if self.pyramid_budgets is None:
+            return num_sub_levels
+        for i, b in enumerate(self.pyramid_budgets):
+            if b > 0:
+                self.pyramid_budgets[i] -= 1
+                return i
+        return num_sub_levels
 
     @property
     def viewmatrix(self) -> np.ndarray:

@@ -205,10 +205,22 @@ class Trainer:
         """+1 every 1000 iterations up to the max (`gaussian_mapper.cpp:332-337`)."""
         return min(self.iteration // 1000, self.config.model.sh_degree)
 
-    def _gt(self, kf) -> jnp.ndarray:
-        if kf.fid not in self._gt_cache:
-            self._gt_cache[kf.fid] = jnp.asarray(kf.image)
-        return self._gt_cache[kf.fid]
+    def _gt(self, kf, level_camera=None) -> jnp.ndarray:
+        key = (kf.fid, None if level_camera is None else level_camera.width)
+        if key not in self._gt_cache:
+            img = kf.image
+            if level_camera is not None and (
+                level_camera.width != kf.camera.width
+            ):
+                import cv2
+
+                img = cv2.resize(
+                    np.asarray(img),
+                    (level_camera.width, level_camera.height),
+                    interpolation=cv2.INTER_AREA,
+                )
+            self._gt_cache[key] = jnp.asarray(img)
+        return self._gt_cache[key]
 
     # -- the loop --
 
@@ -235,8 +247,25 @@ class Trainer:
             )
         )
 
+        # coarse-to-fine pyramid (`trainForOneIteration`,
+        # `src/gaussian_mapper.cpp:309-325`)
+        camera = kf.camera
+        if cfg.pyramid.do and cfg.pyramid.num_sub_levels > 0:
+            if kf.pyramid_budgets is None:
+                kf.pyramid_budgets = [
+                    cfg.pyramid.sub_level_times_of_use
+                ] * cfg.pyramid.num_sub_levels
+            level = kf.current_pyramid_level(cfg.pyramid.num_sub_levels)
+            if level < cfg.pyramid.num_sub_levels:
+                f = cfg.pyramid.factor(level)
+                camera = dataclasses.replace(
+                    camera,
+                    width=max(int(camera.width * f), 16),
+                    height=max(int(camera.height * f), 16),
+                )
+
         skip_bottom_px = (
-            int(round(kf.camera.height * cfg.opt.skip_bottom_ratio))
+            int(round(camera.height * cfg.opt.skip_bottom_ratio))
             if cfg.opt.skip_bottom_ratio > 0
             else 0
         )
@@ -246,9 +275,9 @@ class Trainer:
             self.opt_state,
             jnp.asarray(kf.viewmatrix),
             jnp.asarray(kf.campos),
-            self._gt(kf),
+            self._gt(kf, camera),
             jnp.asarray(it),
-            camera=kf.camera,
+            camera=camera,
             sh_degree=self.sh_degree,
             raster_cfg=self.raster_cfg,
             lr_cfg=self.lr_cfg,
