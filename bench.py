@@ -29,7 +29,9 @@ def main():
     W, H = 1920, 960
     P = 1 << 17  # 131k Gaussians (360Roam-scale mid-training)
     camera = Camera(CameraType.LONLAT, W, H)
-    cfg = RasterConfig(max_instances=1 << 21, backend="pallas")
+    cfg = RasterConfig(
+        max_instances=1 << 21, backend="pallas", tight_culling=True
+    )
     model = _example_model(capacity=P, n=P)
     vm = jnp.eye(4)
     campos = jnp.zeros(3)

@@ -94,6 +94,8 @@ class TpuParams:
     max_instances: int = 1 << 22
     tile_cap: int = 1024
     chunk: int = 64
+    backend: str = "pallas"  # "pallas" (TPU) | "xla" (any device)
+    tight_culling: bool = True
     mesh_data: int = 1  # view-parallel axis size
     mesh_gauss: int = 1  # Gaussian-parallel axis size
 

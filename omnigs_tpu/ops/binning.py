@@ -126,6 +126,115 @@ def bin_instances(
     )
 
 
+def tile_cover_counts(
+    rect: jnp.ndarray,
+    emit_mask: jnp.ndarray,
+    grid_x: int,
+    grid_y: int,
+    tile_lo=0,
+    n_tiles: int | None = None,
+) -> jnp.ndarray:
+    """Exact per-tile instance counts without touching instances: scatter the
+    four signed rect corners of each emitted Gaussian onto a (gy+1, gx+1)
+    grid and 2D-prefix-sum — counts[t] = #rects covering tile t. O(P)
+    scatter into a tiny grid instead of an O(R) histogram."""
+    num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
+    x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    one = jnp.where(emit_mask, 1, 0).astype(jnp.int32)
+    grid = jnp.zeros((grid_y + 1, grid_x + 1), jnp.int32)
+    grid = grid.at[y0, x0].add(one)
+    grid = grid.at[y0, x1].add(-one)
+    grid = grid.at[y1, x0].add(-one)
+    grid = grid.at[y1, x1].add(one)
+    counts2d = jnp.cumsum(jnp.cumsum(grid, axis=0), axis=1)[:grid_y, :grid_x]
+    flat = counts2d.reshape(-1)
+    return jax.lax.dynamic_slice_in_dim(flat, tile_lo, num_tiles)
+
+
+def bin_instances_aligned(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_instances: int,
+    chunk: int,
+    tile_lo=0,
+    n_tiles: int | None = None,
+) -> BinnedInstances:
+    """One-pass aligned binning: ghost instances pad every tile's run to a
+    multiple of ``chunk``, so the *sorted array itself* is the chunk-aligned
+    slab layout the Pallas kernels DMA from — no post-sort re-lay gathers.
+
+    Ghosts carry depth=+∞ so they sort after their tile's real instances
+    (and are masked in-kernel by the true count). Per-tile counts come from
+    `tile_cover_counts` *before* the sort; to keep them consistent with the
+    emitted instances under capacity truncation, emission is cut at the
+    first Gaussian whose instance range would cross ``max_instances`` (the
+    whole suffix is dropped — deterministic, counted in `truncated`).
+    Output arrays have length max_instances + num_tiles·chunk.
+    """
+    num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
+    tiles = prep.tiles_touched.astype(jnp.int32)
+    offsets = jnp.cumsum(tiles) - tiles
+    total = offsets[-1] + tiles[-1]
+
+    # contiguous-prefix truncation
+    overflow = (offsets + tiles > max_instances).astype(jnp.int32)
+    kept = jnp.cumsum(overflow) == 0
+    tiles_eff = jnp.where(kept, tiles, 0)
+    total_eff = jnp.sum(tiles_eff)
+
+    counts = tile_cover_counts(
+        prep.rect, kept & (tiles > 0), grid_x, grid_y, tile_lo, num_tiles
+    )
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    astarts = jnp.cumsum(padded) - padded
+
+    # real instances
+    j = jnp.arange(max_instances, dtype=jnp.int32)
+    g = jnp.clip(_owner_of_slot(offsets, max_instances), 0, tiles.shape[0] - 1)
+    alive = j < total_eff
+    table = jnp.concatenate(
+        [prep.rect.astype(jnp.float32), prep.depths[:, None]], axis=-1
+    )
+    rows = table[g]
+    x0 = rows[:, 0].astype(jnp.int32)
+    width = jnp.maximum(rows[:, 2].astype(jnp.int32) - x0, 1)
+    local = j - offsets[g]
+    tx = x0 + local % width
+    ty = rows[:, 1].astype(jnp.int32) + local // width
+    tile_id = ty * grid_x + tx - tile_lo
+    in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
+    tile_id = jnp.where(in_window, tile_id, num_tiles)
+    depth = jnp.where(in_window, rows[:, 4], jnp.inf)
+
+    # ghost padding instances (sort after reals of their tile via depth=inf)
+    n_ghost = num_tiles * chunk
+    ghost_counts = padded - counts
+    ghost_offsets = jnp.cumsum(ghost_counts) - ghost_counts
+    total_ghosts = jnp.sum(ghost_counts)
+    gj = jnp.arange(n_ghost, dtype=jnp.int32)
+    gtile = jnp.clip(_owner_of_slot(ghost_offsets, n_ghost), 0, num_tiles - 1)
+    galive = gj < total_ghosts
+    gtile_id = jnp.where(galive, gtile, num_tiles)
+
+    all_tile = jnp.concatenate([tile_id, gtile_id])
+    all_depth = jnp.concatenate(
+        [depth, jnp.full((n_ghost,), jnp.inf, depth.dtype)]
+    )
+    all_g = jnp.concatenate([g, jnp.zeros((n_ghost,), jnp.int32)])
+    _, _, sorted_g = jax.lax.sort(
+        (all_tile, all_depth, all_g), num_keys=2, is_stable=True
+    )
+
+    return BinnedInstances(
+        sorted_g=sorted_g,
+        starts=astarts,
+        counts=counts,
+        num_instances=total_eff,
+        truncated=total - total_eff,
+    )
+
+
 def align_instances(
     inst: BinnedInstances, chunk: int, max_aligned: int
 ) -> BinnedInstances:
@@ -147,9 +256,16 @@ def align_instances(
         _owner_of_slot(astarts, max_aligned), 0, counts.shape[0] - 1
     )
     j = jnp.arange(max_aligned, dtype=jnp.int32)
-    k = j - astarts[tile]
+    # one row gather for the three per-tile fields (col gathers are slow)
+    tileinfo = jnp.stack([inst.starts, counts, astarts], axis=-1)[tile]
+    t_start, t_count, t_astart = (
+        tileinfo[:, 0],
+        tileinfo[:, 1],
+        tileinfo[:, 2],
+    )
+    k = j - t_astart
     src = jnp.clip(
-        inst.starts[tile] + jnp.minimum(k, jnp.maximum(counts[tile] - 1, 0)),
+        t_start + jnp.minimum(k, jnp.maximum(t_count - 1, 0)),
         0,
         inst.sorted_g.shape[0] - 1,
     )

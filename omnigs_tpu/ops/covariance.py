@@ -120,9 +120,25 @@ def invert_cov2d(cov2d: jnp.ndarray):
     return conic, det
 
 
-def cov2d_extent(cov2d: jnp.ndarray, det: jnp.ndarray) -> jnp.ndarray:
-    """Screen-space radius = ⌈3·√λ_max⌉ (`forward.cu:671-674`)."""
+def cov2d_extent(
+    cov2d: jnp.ndarray, det: jnp.ndarray, opacity: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Screen-space radius = ⌈3·√λ_max⌉ (`forward.cu:671-674`).
+
+    With ``opacity``, the radius tightens to where α falls below the
+    compositor's 1/255 skip threshold: α = op·exp(−r²/2λ) < 1/255 ⇔
+    r > √(2·ln(255·op))·√λ. Instances outside that radius are *skipped* by
+    the render loop anyway (`forward.cu:436-438`), so tight culling is
+    output-identical — it only shrinks the binning workload (and, for
+    op ≤ 1/255, culls the Gaussian outright). Capped at the reference's 3σ.
+    """
     a, c = cov2d[..., 0], cov2d[..., 2]
     mid = 0.5 * (a + c)
     lam_max = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
-    return jnp.ceil(3.0 * jnp.sqrt(lam_max))
+    k = 3.0
+    if opacity is not None:
+        k = jnp.minimum(
+            3.0, jnp.sqrt(2.0 * jnp.log(jnp.maximum(255.0 * opacity, 1e-6)))
+        )
+        k = jnp.maximum(k, 0.0)
+    return jnp.ceil(k * jnp.sqrt(lam_max))

@@ -58,6 +58,20 @@ def _tri_incl() -> jnp.ndarray:
     return (r <= c).astype(jnp.float32)
 
 
+def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive lane cumsum as a triangular-matrix multiply. Measured faster
+    than a Hillis–Steele shift-add ladder: the MXU runs concurrently with the
+    VPU α math, so the matmul is effectively free while the rolls serialize
+    onto the already-saturated VPU. HIGHEST precision avoids bf16 truncation
+    of the log-transmittance sums."""
+    return jnp.dot(
+        x,
+        _tri_incl(),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
 def _pixel_coords(x0, y0):
     """(PX, 1) pixel centers from the tile's pixel origin scalars."""
     p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
@@ -106,7 +120,6 @@ def _fwd_kernel(
     count = counts_ref[t]
     px, py = _pixel_coords(x0_ref[t], y0_ref[t])
     n_chunks = pl.cdiv(count, CHUNK)
-    M = _tri_incl()
 
     def get_dma(slot, c):
         off = pl.multiple_of(start + c * CHUNK, CHUNK)
@@ -138,7 +151,7 @@ def _fwd_kernel(
             data, px, py, count, c * CHUNK
         )
         l = jnp.log1p(-a)
-        cs = jnp.dot(l, M, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        cs = _lane_cumsum(l)
         N_incl = N * jnp.exp(cs)
         N_excl = N_incl / (1.0 - a)
         contrib = N_incl >= T_STOP
@@ -205,7 +218,6 @@ def _bwd_kernel(
     count = counts_ref[t]
     px, py = _pixel_coords(x0_ref[t], y0_ref[t])
     n_chunks = pl.cdiv(count, CHUNK)
-    M = _tri_incl()
     color_full = color_full_ref[0]  # (PX, 3)
     dL = dcolor_ref[0]  # (PX, 3)
     dL_dot_Cfull = jnp.sum(dL * color_full, axis=1, keepdims=True)  # (PX,1)
@@ -241,7 +253,7 @@ def _bwd_kernel(
         )
         one_m = 1.0 - a
         l = jnp.log1p(-a)
-        cs = jnp.dot(l, M, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+        cs = _lane_cumsum(l)
         N_incl = N * jnp.exp(cs)
         N_excl = N_incl / one_m
         contrib = N_incl >= T_STOP
@@ -249,24 +261,19 @@ def _bwd_kernel(
         w = a * N_excl * contrib
         rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
 
-        # Σ_ch dL_ch · cumsum_incl(w·c_ch) via 3 triangular matmuls
-        dl_wc_cum = jnp.zeros((PX, CHUNK), jnp.float32)
-        for ch in range(3):
-            c_row = rgbT[ch : ch + 1, :]  # (1, CHUNK)
-            wc = w * c_row
-            dl_wc_cum = dl_wc_cum + dL[:, ch : ch + 1] * jnp.dot(
-                wc, M, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        # B_i = C_full − prefix − wc_prefix_incl  (dotted with dL)
-        dL_dot_B = dL_dot_Cfull - dL_dot_prefix - dl_wc_cum
-
-        # term1 = N_excl · Σ_ch dL_ch·c_i_ch = N_excl ⊙ (dL @ rgbT)
-        term1 = N_excl * jnp.dot(
+        # u_i = Σ_ch dL_ch·c_i_ch per (pixel, instance)
+        u = jnp.dot(
             dL, rgbT, preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
-        dL_da = jnp.where(gate, term1 - dL_dot_B / one_m, 0.0)
+        # Σ_ch dL_ch·cumsum_incl(w·c_ch) — the per-row dL scale commutes with
+        # the (linear) triangular multiply, so the 3 per-channel tri-matmuls
+        # collapse into one: (w ⊙ u) @ M
+        dl_wc_cum = _lane_cumsum(w * u)
+        # B_i = C_full − prefix − wc_prefix_incl  (dotted with dL)
+        dL_dot_B = dL_dot_Cfull - dL_dot_prefix - dl_wc_cum
+
+        dL_da = jnp.where(gate, N_excl * u - dL_dot_B / one_m, 0.0)
 
         dL_dG = op * dL_da  # 0.99-clamp ignored (reference parity)
         gdx = G * dx
@@ -503,8 +510,8 @@ def _ci_bwd(num_tiles, interpret, res, cts):
     r = sorted_g.shape[0]
     # deterministic instance → Gaussian reduction (replaces atomicAdd):
     # one row-major scatter-add of the whole (R, NROWS) gradient slab
-    rows = dinst[:, :r].T  # (R, NROWS)
-    acc = jnp.zeros((P, NROWS)).at[sorted_g].add(rows)
+    rows = dinst[:9, :r].T  # (R, 9) — only the meaningful gradient rows
+    acc = jnp.zeros((P, 9)).at[sorted_g].add(rows)
     dm2d = acc[:, 0:2]
     dcon = acc[:, 2:5]
     dop = acc[:, 5]

@@ -91,6 +91,7 @@ def preprocess(
     colors_precomp: Optional[jnp.ndarray] = None,
     cov3d_precomp: Optional[jnp.ndarray] = None,
     active_mask: Optional[jnp.ndarray] = None,
+    tight_culling: bool = False,
 ) -> Preprocessed:
     """Vectorized per-Gaussian preprocess.
 
@@ -146,7 +147,9 @@ def preprocess(
         cov3d = cov3d_precomp
     cov2d = cov_ops.project_cov3d(cov3d, J, viewmatrix[:3, :3])
     conic, det = cov_ops.invert_cov2d(cov2d)
-    radii = cov_ops.cov2d_extent(cov2d, det)
+    radii = cov_ops.cov2d_extent(
+        cov2d, det, opacity=opacities if tight_culling else None
+    )
 
     rect = compute_rect(means2d, radii, gx, gy)
     area = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])

@@ -55,6 +55,9 @@ class RasterConfig:
     chunk: int = 32  # instances composited per scan step (XLA backend)
     backend: str = "xla"  # "xla" | "pallas"
     interpret: bool = False  # Pallas interpreter mode (CPU tests)
+    # opacity-aware tight rects: output-identical, fewer instances; changes
+    # only n_contrib ranks / radii stats vs the reference's fixed 3σ
+    tight_culling: bool = False
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -343,6 +346,7 @@ def rasterize(
         colors_precomp=colors_precomp,
         cov3d_precomp=cov3d_precomp,
         active_mask=active_mask,
+        tight_culling=config.tight_culling,
     )
     means2d = prep.means2d
     if means2d_ndc is not None:
@@ -358,14 +362,15 @@ def rasterize(
         rgb = f
 
     if config.backend == "pallas":
-        from omnigs_tpu.ops.binning import align_instances, bin_instances
+        from omnigs_tpu.ops.binning import bin_instances_aligned
         from omnigs_tpu.ops.pallas_raster import CHUNK as PCHUNK
         from omnigs_tpu.ops.pallas_raster import composite_instances
 
-        inst = bin_instances(prep_sg, gx, gy, config.max_instances)
-        # chunk-aligned per-tile slabs (TPU DMA lane-alignment requirement)
-        r_aligned = config.max_instances + gx * gy * PCHUNK
-        inst = align_instances(inst, PCHUNK, r_aligned)
+        # one-pass binning straight into chunk-aligned slabs (TPU DMA
+        # lane-alignment requirement) via ghost padding instances
+        inst = bin_instances_aligned(
+            prep_sg, gx, gy, config.max_instances, PCHUNK
+        )
         t_ids = np.arange(gx * gy)
         x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
         y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)

@@ -162,10 +162,17 @@ class Trainer:
         else:
             self.camera = next(iter(self.scene.keyframes.values())).camera
         _, self.cameras_extent = self.scene.nerfpp_norm()
+        import jax as _jax
+
+        backend = cfg.tpu.backend
+        if backend == "pallas" and _jax.default_backend() == "cpu":
+            backend = "xla"  # Pallas compiled kernels are TPU-only
         self.raster_cfg = RasterConfig(
             max_instances=cfg.tpu.max_instances,
             tile_cap=cfg.tpu.tile_cap,
             chunk=cfg.tpu.chunk,
+            backend=backend,
+            tight_culling=cfg.tpu.tight_culling,
         )
         self.lr_cfg = opt_ops.LRConfig(
             position_lr_init=cfg.opt.position_lr_init,
