@@ -37,11 +37,17 @@ from omnigs_tpu.ops.preprocess import Preprocessed
 class BinnedInstances(NamedTuple):
     """Instance-major binning result (the Pallas kernels' native layout)."""
 
-    sorted_g: jnp.ndarray  # (max_instances,) int32 gaussian index per instance
+    sorted_g: jnp.ndarray  # (R,) int32 gaussian index per instance
     starts: jnp.ndarray  # (num_tiles,) int32 first instance of each tile
     counts: jnp.ndarray  # (num_tiles,) int32 instances per tile
     num_instances: jnp.ndarray  # () int32 total emitted instances
     truncated: jnp.ndarray  # () int32 instances dropped by max_instances
+    # emission bookkeeping (aligned path only) for the segment-diff gradient
+    # reduction: slab position → emission slot, and per-Gaussian emission
+    # segment [seg_lo, seg_hi)
+    sorted_e: jnp.ndarray | None = None  # (R,) int32, sentinel for ghosts
+    seg_lo: jnp.ndarray | None = None  # (P,) int32
+    seg_hi: jnp.ndarray | None = None  # (P,) int32
 
 
 class BinnedTiles(NamedTuple):
@@ -159,6 +165,7 @@ def bin_instances_aligned(
     chunk: int,
     tile_lo=0,
     n_tiles: int | None = None,
+    with_emission: bool = False,
 ) -> BinnedInstances:
     """One-pass aligned binning: ghost instances pad every tile's run to a
     multiple of ``chunk``, so the *sorted array itself* is the chunk-aligned
@@ -222,9 +229,27 @@ def bin_instances_aligned(
         [depth, jnp.full((n_ghost,), jnp.inf, depth.dtype)]
     )
     all_g = jnp.concatenate([g, jnp.zeros((n_ghost,), jnp.int32)])
-    _, _, sorted_g = jax.lax.sort(
-        (all_tile, all_depth, all_g), num_keys=2, is_stable=True
-    )
+    sorted_e = seg_lo = seg_hi = None
+    if with_emission:
+        # emission index payload for the segment-diff gradient reduction:
+        # reals carry their slot j (gaussian-major, contiguous per gaussian);
+        # ghosts/dead carry the sentinel R. (Measured slower end-to-end than
+        # the plain scatter-add on v5e — kept for larger-R regimes.)
+        all_e = jnp.concatenate(
+            [
+                jnp.where(in_window, j, max_instances),
+                jnp.full((n_ghost,), max_instances, jnp.int32),
+            ]
+        )
+        _, _, sorted_g, sorted_e = jax.lax.sort(
+            (all_tile, all_depth, all_g, all_e), num_keys=2, is_stable=True
+        )
+        seg_lo = jnp.minimum(offsets, max_instances)
+        seg_hi = jnp.minimum(offsets + tiles_eff, max_instances)
+    else:
+        _, _, sorted_g = jax.lax.sort(
+            (all_tile, all_depth, all_g), num_keys=2, is_stable=True
+        )
 
     return BinnedInstances(
         sorted_g=sorted_g,
@@ -232,6 +257,9 @@ def bin_instances_aligned(
         counts=counts,
         num_instances=total_eff,
         truncated=total - total_eff,
+        sorted_e=sorted_e,
+        seg_lo=seg_lo,
+        seg_hi=seg_hi,
     )
 
 

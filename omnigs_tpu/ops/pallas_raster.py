@@ -449,7 +449,7 @@ def _int_ct(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
 def composite_instances(
     means2d,
     conic,
@@ -461,6 +461,9 @@ def composite_instances(
     counts,
     x0,
     y0,
+    sorted_e,
+    seg_lo,
+    seg_hi,
     num_tiles,
     interpret,
 ):
@@ -468,6 +471,10 @@ def composite_instances(
 
     Returns (color (T, PX, 3) incl. background, final_T (T, PX),
     n_contrib (T, PX)). Differentiable in the first four args.
+
+    ``sorted_e``/``seg_lo``/``seg_hi`` (from `bin_instances_aligned`) enable
+    the segment-diff gradient reduction; pass None to fall back to a
+    scatter-add over ``sorted_g``.
     """
     inst_T = _build_inst(means2d, conic, rgb, opacity, sorted_g)
     color, finalT, ncontrib = composite_pallas_fwd(
@@ -479,7 +486,7 @@ def composite_instances(
 
 def _ci_fwd(
     means2d, conic, rgb, opacity, bg, sorted_g, starts, counts, x0, y0,
-    num_tiles, interpret,
+    sorted_e, seg_lo, seg_hi, num_tiles, interpret,
 ):
     inst_T = _build_inst(means2d, conic, rgb, opacity, sorted_g)
     color, finalT, ncontrib = composite_pallas_fwd(
@@ -493,6 +500,9 @@ def _ci_fwd(
         counts,
         x0,
         y0,
+        sorted_e,
+        seg_lo,
+        seg_hi,
         color_full,
         bg,
         means2d.shape[0],
@@ -501,21 +511,51 @@ def _ci_fwd(
 
 
 def _ci_bwd(num_tiles, interpret, res, cts):
-    inst_T, sorted_g, starts, counts, x0, y0, color_full, bg, P = res
+    (
+        inst_T,
+        sorted_g,
+        starts,
+        counts,
+        x0,
+        y0,
+        sorted_e,
+        seg_lo,
+        seg_hi,
+        color_full,
+        bg,
+        P,
+    ) = res
     dcolor = cts[0]
     dinst = composite_pallas_bwd(
         inst_T, starts, counts, x0, y0, color_full, dcolor, num_tiles,
         interpret,
     )
     r = sorted_g.shape[0]
-    # deterministic instance → Gaussian reduction (replaces atomicAdd):
-    # one row-major scatter-add of the whole (R, NROWS) gradient slab
     rows = dinst[:9, :r].T  # (R, 9) — only the meaningful gradient rows
-    acc = jnp.zeros((P, 9)).at[sorted_g].add(rows)
+    if sorted_e is not None:
+        # Deterministic instance → Gaussian reduction via segment diff:
+        # slab → emission order is a *permutation* (set-scatter, no
+        # collisions; ghosts carry an out-of-range sentinel and drop), each
+        # Gaussian's instances are contiguous in emission order, so the
+        # per-Gaussian sum is a difference of cumulative sums. Much faster
+        # than a 3M-index scatter-add on TPU.
+        r_emit = sorted_e.shape[0] - num_tiles * CHUNK  # = max_instances
+        emission = (
+            jnp.zeros((r_emit, 9)).at[sorted_e].set(rows, mode="drop")
+        )
+        cs = jnp.concatenate(
+            [jnp.zeros((1, 9)), jnp.cumsum(emission, axis=0)], axis=0
+        )
+        acc = cs[seg_hi] - cs[seg_lo]
+    else:
+        acc = jnp.zeros((P, 9)).at[sorted_g].add(rows)
     dm2d = acc[:, 0:2]
     dcon = acc[:, 2:5]
     dop = acc[:, 5]
     drgb = acc[:, 6:9]
+    out_e = None if sorted_e is None else _int_ct(sorted_e)
+    out_lo = None if seg_lo is None else _int_ct(seg_lo)
+    out_hi = None if seg_hi is None else _int_ct(seg_hi)
     return (
         dm2d,
         dcon,
@@ -527,6 +567,9 @@ def _ci_bwd(num_tiles, interpret, res, cts):
         _int_ct(counts),
         _int_ct(x0),
         _int_ct(y0),
+        out_e,
+        out_lo,
+        out_hi,
     )
 
 

@@ -385,6 +385,9 @@ def rasterize(
             inst.counts,
             x0,
             y0,
+            inst.sorted_e,
+            inst.seg_lo,
+            inst.seg_hi,
             gx * gy,
             config.interpret,
         )

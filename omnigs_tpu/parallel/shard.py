@@ -272,7 +272,7 @@ def make_sharded_densify(mesh, **static_kwargs):
     slots (slot placement is an implementation detail; thresholds are
     elementwise so semantics match the global op)."""
 
-    def run(model, opt_state, key):
+    def run(model, opt_state, key, iteration):
         gauss_spec_model = jax.tree_util.tree_map(lambda _: P(GAUSS_AXIS), model)
         gauss_spec_opt = jax.tree_util.tree_map(
             lambda _: P(GAUSS_AXIS), opt_state
@@ -281,20 +281,20 @@ def make_sharded_densify(mesh, **static_kwargs):
         @functools.partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(gauss_spec_model, gauss_spec_opt, P()),
+            in_specs=(gauss_spec_model, gauss_spec_opt, P(), P()),
             out_specs=(gauss_spec_model, gauss_spec_opt, P()),
             check_vma=False,
         )
-        def _run(m, o, k):
+        def _run(m, o, k, it):
             k = jax.random.fold_in(k, jax.lax.axis_index(GAUSS_AXIS))
             m2, o2, stats = densify_ops.densify_and_prune(
-                m, o, k, **static_kwargs
+                m, o, k, iteration=it, **static_kwargs
             )
             stats = jax.tree_util.tree_map(
                 lambda x: jax.lax.psum(x, GAUSS_AXIS), stats
             )
             return m2, o2, stats
 
-        return _run(model, opt_state, key)
+        return _run(model, opt_state, key, iteration)
 
     return jax.jit(run)
