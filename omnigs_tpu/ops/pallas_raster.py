@@ -99,6 +99,9 @@ def _chunk_alpha(data, px, py, count, kbase):
     return a, live, G, dx, dy, A, B, C, op, k
 
 
+TPB = 4  # tiles composited per kernel program (amortizes per-program costs)
+
+
 def _fwd_kernel(
     # scalar prefetch
     starts_ref,
@@ -107,91 +110,99 @@ def _fwd_kernel(
     y0_ref,
     # inputs
     inst_ref,  # (NROWS, R_pad) in HBM
-    # outputs (per-tile blocks)
-    color_ref,  # (1, PX, 3)
-    finalT_ref,  # (1, PX, 1)
-    ncontrib_ref,  # (1, PX, 1)
+    # outputs (per-program blocks of TPB tiles)
+    color_ref,  # (TPB, PX, 3)
+    finalT_ref,  # (TPB, PX, 1)
+    ncontrib_ref,  # (TPB, PX, 1)
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
     sems,  # DMA(2)
 ):
-    t = pl.program_id(0)
-    start = starts_ref[t]
-    count = counts_ref[t]
-    px, py = _pixel_coords(x0_ref[t], y0_ref[t])
-    n_chunks = pl.cdiv(count, CHUNK)
+    pid = pl.program_id(0)
 
-    def get_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
-        return pltpu.make_async_copy(
-            inst_ref.at[:, pl.ds(off, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
+    def tile_body(i, _):
+        t = pid * TPB + i
+        start = starts_ref[t]
+        count = counts_ref[t]
+        px, py = _pixel_coords(x0_ref[t], y0_ref[t])
+        n_chunks = pl.cdiv(count, CHUNK)
 
-    @pl.when(n_chunks > 0)
-    def _():
-        get_dma(0, 0).start()
+        def get_dma(slot, c):
+            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, CHUNK)],
+                buf.at[slot],
+                sems.at[slot],
+            )
 
-    def cond(carry):
-        c, N, _, _, _ = carry
-        return (c < n_chunks) & (jnp.max(N) >= T_STOP)
-
-    def body(carry):
-        c, N, Tstop, color, ncontrib = carry
-        slot = jax.lax.rem(c, 2)
-
-        @pl.when(c + 1 < n_chunks)
+        @pl.when(n_chunks > 0)
         def _():
-            get_dma(1 - slot, c + 1).start()
+            get_dma(0, 0).start()
 
-        get_dma(slot, c).wait()
-        data = buf[slot]
-        a, live, _, _, _, _, _, _, _, k = _chunk_alpha(
-            data, px, py, count, c * CHUNK
-        )
-        l = jnp.log1p(-a)
-        cs = _lane_cumsum(l)
-        N_incl = N * jnp.exp(cs)
-        N_excl = N_incl / (1.0 - a)
-        contrib = N_incl >= T_STOP
-        w = a * N_excl * contrib
-        rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
-        color = color + jax.lax.dot_general(
-            w,
-            rgbT,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        Tstop = Tstop * jnp.exp(
-            jnp.sum(jnp.where(contrib, l, 0.0), axis=1, keepdims=True)
-        )
-        N = N * jnp.exp(jnp.sum(l, axis=1, keepdims=True))
-        rank = jnp.where(live & contrib, k + 1, 0)
-        ncontrib = jnp.maximum(
-            ncontrib, jnp.max(rank, axis=1, keepdims=True)
-        )
-        return c + 1, N, Tstop, color, ncontrib
+        def cond(carry):
+            c, N, _, _, _ = carry
+            return (c < n_chunks) & (jnp.max(N) >= T_STOP)
 
-    init = (
-        jnp.int32(0),
-        jnp.ones((PX, 1), jnp.float32),
-        jnp.ones((PX, 1), jnp.float32),
-        jnp.zeros((PX, 3), jnp.float32),
-        jnp.zeros((PX, 1), jnp.int32),
-    )
-    c_final, N, Tstop, color, ncontrib = jax.lax.while_loop(cond, body, init)
+        def body(carry):
+            c, N, Tstop, color, ncontrib = carry
+            slot = jax.lax.rem(c, 2)
 
-    # Early termination leaves the prefetched next-chunk DMA in flight;
-    # exiting the kernel with an outstanding DMA aborts the TPU. Drain it.
-    @pl.when(c_final < n_chunks)
-    def _():
-        get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(1 - slot, c + 1).start()
 
-    color_ref[0] = color
-    finalT_ref[0] = Tstop
-    ncontrib_ref[0] = ncontrib
+            get_dma(slot, c).wait()
+            data = buf[slot]
+            a, live, _, _, _, _, _, _, _, k = _chunk_alpha(
+                data, px, py, count, c * CHUNK
+            )
+            l = jnp.log1p(-a)
+            cs = _lane_cumsum(l)
+            N_incl = N * jnp.exp(cs)
+            N_excl = N_incl / (1.0 - a)
+            contrib = N_incl >= T_STOP
+            w = a * N_excl * contrib
+            rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
+            color = color + jax.lax.dot_general(
+                w,
+                rgbT,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            Tstop = Tstop * jnp.exp(
+                jnp.sum(jnp.where(contrib, l, 0.0), axis=1, keepdims=True)
+            )
+            N = N * jnp.exp(jnp.sum(l, axis=1, keepdims=True))
+            rank = jnp.where(live & contrib, k + 1, 0)
+            ncontrib = jnp.maximum(
+                ncontrib, jnp.max(rank, axis=1, keepdims=True)
+            )
+            return c + 1, N, Tstop, color, ncontrib
+
+        init = (
+            jnp.int32(0),
+            jnp.ones((PX, 1), jnp.float32),
+            jnp.ones((PX, 1), jnp.float32),
+            jnp.zeros((PX, 3), jnp.float32),
+            jnp.zeros((PX, 1), jnp.int32),
+        )
+        c_final, N, Tstop, color, ncontrib = jax.lax.while_loop(
+            cond, body, init
+        )
+
+        # Early termination leaves the prefetched next-chunk DMA in flight;
+        # exiting with an outstanding DMA aborts the TPU. Drain it.
+        @pl.when(c_final < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        color_ref[i] = color
+        finalT_ref[i] = Tstop
+        ncontrib_ref[i] = ncontrib
+        return 0
+
+    jax.lax.fori_loop(0, TPB, tile_body, 0)
 
 
 def _bwd_kernel(
@@ -202,8 +213,8 @@ def _bwd_kernel(
     y0_ref,
     # inputs
     inst_ref,  # (NROWS, R_pad) HBM
-    color_full_ref,  # (1, PX, 3) — forward output incl. background
-    dcolor_ref,  # (1, PX, 3)
+    color_full_ref,  # (TPB, PX, 3) — forward output incl. background
+    dcolor_ref,  # (TPB, PX, 3)
     zeros_ref,  # (NROWS, R_pad) HBM — aliased to dinst_ref, unused
     # output
     dinst_ref,  # (NROWS, R_pad) HBM (zero-initialized via alias)
@@ -213,13 +224,52 @@ def _bwd_kernel(
     sems,  # DMA(2)
     out_sem,  # DMA(1)
 ):
-    t = pl.program_id(0)
+    pid = pl.program_id(0)
+
+    def tile_loop(i, _):
+        _bwd_tile(
+            pid * TPB + i,
+            i,
+            starts_ref,
+            counts_ref,
+            x0_ref,
+            y0_ref,
+            inst_ref,
+            color_full_ref,
+            dcolor_ref,
+            dinst_ref,
+            buf,
+            gbuf,
+            sems,
+            out_sem,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, TPB, tile_loop, 0)
+
+
+def _bwd_tile(
+    t,
+    i,
+    starts_ref,
+    counts_ref,
+    x0_ref,
+    y0_ref,
+    inst_ref,
+    color_full_ref,
+    dcolor_ref,
+    dinst_ref,
+    buf,
+    gbuf,
+    sems,
+    out_sem,
+):
     start = starts_ref[t]
     count = counts_ref[t]
     px, py = _pixel_coords(x0_ref[t], y0_ref[t])
     n_chunks = pl.cdiv(count, CHUNK)
-    color_full = color_full_ref[0]  # (PX, 3)
-    dL = dcolor_ref[0]  # (PX, 3)
+    color_full = color_full_ref[i]  # (PX, 3)
+    dL = dcolor_ref[i]  # (PX, 3)
     dL_dot_Cfull = jnp.sum(dL * color_full, axis=1, keepdims=True)  # (PX,1)
 
     def get_dma(slot, c):
@@ -345,14 +395,19 @@ def composite_pallas_fwd(
     interpret: bool = False,
 ):
     """Run the forward kernel. inst_T is (NROWS, R_pad)."""
+    n_prog = -(-num_tiles // TPB)
+    t_pad = n_prog * TPB
+    starts, counts, x0, y0 = (
+        jnp.pad(a, (0, t_pad - num_tiles)) for a in (starts, counts, x0, y0)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        grid=(n_prog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((1, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PX, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PX, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, PX, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, PX, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
@@ -363,13 +418,17 @@ def composite_pallas_fwd(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((num_tiles, PX, 3), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, PX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, PX, 1), jnp.int32),
+            jax.ShapeDtypeStruct((t_pad, PX, 3), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, PX, 1), jnp.float32),
+            jax.ShapeDtypeStruct((t_pad, PX, 1), jnp.int32),
         ],
         interpret=interpret,
     )(starts, counts, x0, y0, inst_T)
-    return color, finalT[..., 0], ncontrib[..., 0]
+    return (
+        color[:num_tiles],
+        finalT[:num_tiles, :, 0],
+        ncontrib[:num_tiles, :, 0],
+    )
 
 
 def composite_pallas_bwd(
@@ -384,13 +443,20 @@ def composite_pallas_bwd(
     interpret: bool = False,
 ):
     """Run the backward kernel → (NROWS, R_pad) per-instance gradients."""
+    n_prog = -(-num_tiles // TPB)
+    t_pad = n_prog * TPB
+    starts, counts, x0, y0 = (
+        jnp.pad(a, (0, t_pad - num_tiles)) for a in (starts, counts, x0, y0)
+    )
+    color_full = jnp.pad(color_full, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
+    dcolor = jnp.pad(dcolor, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(num_tiles,),
+        grid=(n_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TPB, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
