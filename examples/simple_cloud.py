@@ -43,7 +43,10 @@ def main():
         opacity=jnp.full_like(model.opacity, 5.0),
     )
 
+    import jax
+
     camera = Camera(CameraType.LONLAT, args.width, args.height)
+    backend = "pallas" if jax.default_backend() != "cpu" else "xla"
     res = render_model(
         model,
         camera,
@@ -51,7 +54,9 @@ def main():
         jnp.zeros(3),
         jnp.zeros(3),
         sh_degree=0,
-        config=RasterConfig(max_instances=1 << 16, tile_cap=64, chunk=16),
+        config=RasterConfig(
+            max_instances=1 << 16, tile_cap=64, chunk=16, backend=backend
+        ),
     )
     out = Path(args.output_dir)
     out.mkdir(parents=True, exist_ok=True)

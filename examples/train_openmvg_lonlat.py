@@ -94,6 +94,9 @@ def main():
             save_ply_checkpoint(tr.model, out, it)
 
     # shutdown record (`trainSfmPcd` tail, gaussian_mapper.cpp:272-288)
+    from omnigs_tpu.utils.profiling import write_peak_memory
+
+    write_peak_memory(out)  # GpuPeakUsageMB.txt analog
     write_keyframe_used_times(tr.sampler, out / "used_times", "_shutdown")
     render_and_record_all_keyframes(
         tr.model,

@@ -30,8 +30,15 @@ def render_model(
     means2d_ndc: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     render_depth: bool = False,
+    convert_SHs: bool = False,
+    compute_cov3D: bool = False,
 ) -> RenderResult:
-    """Render the model from a pose. Differentiable w.r.t. model params."""
+    """Render the model from a pose. Differentiable w.r.t. model params.
+
+    ``convert_SHs`` / ``compute_cov3D`` mirror the reference's Pipeline.*
+    flags (`src/gaussian_renderer.cpp:60-108`): evaluate SH colors /
+    covariances outside the rasterizer and feed them precomputed.
+    """
     features_override = None
     if render_depth:
         from omnigs_tpu.cameras import world_to_cam
@@ -42,6 +49,21 @@ def render_model(
         else:
             depths = t[..., 2]
         features_override = depths
+
+    colors_precomp = None
+    if convert_SHs:
+        from omnigs_tpu.ops import sh as sh_ops
+
+        colors_precomp = sh_ops.sh_to_rgb(
+            sh_degree, model.get_features(), model.xyz, campos
+        )
+    cov3d_precomp = None
+    if compute_cov3D:
+        from omnigs_tpu.ops.covariance import build_cov3d
+
+        cov3d_precomp = build_cov3d(
+            model.get_scaling(), model.get_rotation(), scale_modifier
+        )
 
     return rasterize(
         model.xyz,
@@ -60,4 +82,6 @@ def render_model(
         means2d_ndc=means2d_ndc,
         active_mask=model.active,
         features_override=features_override,
+        colors_precomp=colors_precomp,
+        cov3d_precomp=cov3d_precomp,
     )
