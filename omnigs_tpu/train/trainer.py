@@ -325,6 +325,20 @@ class Trainer:
         self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
         return aux
 
+    # -- full-state checkpointing (beyond the reference's model-only PLY) --
+
+    def save_checkpoint(self, path):
+        from omnigs_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.model, self.opt_state, self.iteration)
+
+    def load_checkpoint(self, path):
+        from omnigs_tpu.train.checkpoint import load_checkpoint
+
+        self.model, self.opt_state, self.iteration, _ = load_checkpoint(
+            path, self.config.tpu.capacity
+        )
+
     def train(self, num_iterations: Optional[int] = None, log_every: int = 0):
         n = num_iterations or self.config.opt.max_num_iterations
         t0 = time.time()

@@ -1,0 +1,104 @@
+"""Web viewer: serve a model, fetch the page and a rendered frame."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omnigs_tpu.cameras import Camera, CameraType
+from omnigs_tpu.ops.rasterize import RasterConfig
+from omnigs_tpu.train.renderer import render_model
+from omnigs_tpu.viewer.server import ViewerState, make_handler
+
+from http.server import ThreadingHTTPServer
+
+from test_renderer_flags import _model
+
+
+def test_viewer_serves_page_and_frames():
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    model = _model()
+    cfg = RasterConfig(max_instances=1 << 12, tile_cap=64, chunk=8)
+
+    def render_fn(vm, campos, mode):
+        res = render_model(
+            model,
+            camera,
+            jnp.asarray(vm),
+            jnp.asarray(campos),
+            jnp.zeros(3),
+            2,
+            cfg,
+            render_depth=(mode == "depth"),
+        )
+        return np.asarray(res.image)
+
+    state = ViewerState(render_fn, camera.width, camera.height)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read()
+        assert b"omnigs_tpu viewer" in page
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps(
+                {"yaw": 0.3, "pitch": 0.0, "pos": [0, 0, 0], "mode": "color"}
+            ).encode(),
+            method="POST",
+        )
+        jpg = urllib.request.urlopen(req, timeout=120).read()
+        assert jpg[:2] == b"\xff\xd8"  # JPEG magic
+        assert len(jpg) > 100
+
+        # depth mode too
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/render",
+            data=json.dumps({"mode": "depth"}).encode(),
+            method="POST",
+        )
+        jpg = urllib.request.urlopen(req, timeout=120).read()
+        assert jpg[:2] == b"\xff\xd8"
+    finally:
+        httpd.shutdown()
+
+
+def test_trainer_checkpoint_resume(tmp_path):
+    """Full-state resume continues bit-exact from the same model/opt state."""
+    import dataclasses
+
+    from omnigs_tpu.config import Config
+    from omnigs_tpu.train.trainer import Trainer
+    from test_trainer import _make_scene
+
+    camera = Camera(CameraType.LONLAT, 32, 16)
+    scene = _make_scene(camera, n_views=2, seed=3)
+    cfg = Config()
+    cfg.tpu = dataclasses.replace(
+        cfg.tpu, capacity=64, max_instances=1 << 12, tile_cap=64, chunk=8
+    )
+    cfg.opt.densify_from_iter = 1000
+    cfg.opt.opacity_reset_interval = 0
+
+    tr = Trainer(scene, cfg)
+    tr.init_from_sfm()
+    for _ in range(3):
+        tr.train_iteration()
+    tr.save_checkpoint(tmp_path / "ck")
+    xyz_before = np.asarray(tr.model.xyz)
+
+    tr2 = Trainer(scene, cfg)
+    tr2.init_from_sfm()
+    tr2.load_checkpoint(tmp_path / "ck")
+    assert tr2.iteration == 3
+    np.testing.assert_array_equal(np.asarray(tr2.model.xyz), xyz_before)
+    np.testing.assert_array_equal(
+        np.asarray(tr2.opt_state.mu["xyz"]), np.asarray(tr.opt_state.mu["xyz"])
+    )
