@@ -30,7 +30,8 @@ def main():
     P = 1 << 17  # 131k Gaussians (360Roam-scale mid-training)
     camera = Camera(CameraType.LONLAT, W, H)
     cfg = RasterConfig(
-        max_instances=1 << 21, backend="pallas", tight_culling=True
+        max_instances=1 << 21, backend="pallas", tight_culling=True,
+        tile_culling=True
     )
     model = _example_model(capacity=P, n=P)
     vm = jnp.eye(4)

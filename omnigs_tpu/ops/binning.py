@@ -157,6 +157,51 @@ def tile_cover_counts(
     return jax.lax.dynamic_slice_in_dim(flat, tile_lo, num_tiles)
 
 
+def _min_quad_over_box(A, B, C, u0, u1, v0, v1):
+    """Exact min of q(u,v) = A·u² + 2B·u·v + C·v² over the box
+    [u0,u1]×[v0,v1] (A,C ≥ 0, psd). The constrained minimum is 0 if the
+    origin is inside, else it lies on one of the four edges, each a clamped
+    1D quadratic — closed form, ~30 flops."""
+    eps = 1e-12
+    inside = (u0 <= 0.0) & (u1 >= 0.0) & (v0 <= 0.0) & (v1 >= 0.0)
+
+    def q(u, v):
+        return A * u * u + 2.0 * B * u * v + C * v * v
+
+    # edges u = u0 / u = u1: min over v at v* = -B·u/C clamped
+    vs0 = jnp.clip(-B * u0 / jnp.maximum(C, eps), v0, v1)
+    vs1 = jnp.clip(-B * u1 / jnp.maximum(C, eps), v0, v1)
+    # edges v = v0 / v = v1: min over u at u* = -B·v/A clamped
+    us0 = jnp.clip(-B * v0 / jnp.maximum(A, eps), u0, u1)
+    us1 = jnp.clip(-B * v1 / jnp.maximum(A, eps), u0, u1)
+    qmin = jnp.minimum(
+        jnp.minimum(q(u0, vs0), q(u1, vs1)),
+        jnp.minimum(q(us0, v0), q(us1, v1)),
+    )
+    return jnp.where(inside, 0.0, qmin)
+
+
+def _finite_counts(sorted_depth, astarts, padded):
+    """Per-tile count of finite-depth (non-ghost) instances in each tile's
+    aligned segment — vectorized binary search over the sorted depth array
+    (reals sort before +inf ghosts within a tile)."""
+    n = sorted_depth.shape[0]
+    lo = astarts
+    hi = astarts + padded
+
+    def body(_, lh):
+        lo, hi = lh
+        active = lo < hi
+        mid = jnp.clip((lo + hi) // 2, 0, n - 1)
+        finite = sorted_depth[mid] < jnp.inf
+        lo = jnp.where(active & finite, mid + 1, lo)
+        hi = jnp.where(active & ~finite, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, 26, body, (lo, hi))
+    return lo - astarts
+
+
 def bin_instances_aligned(
     prep: Preprocessed,
     grid_x: int,
@@ -166,6 +211,7 @@ def bin_instances_aligned(
     tile_lo=0,
     n_tiles: int | None = None,
     with_emission: bool = False,
+    tile_cull: bool = False,
 ) -> BinnedInstances:
     """One-pass aligned binning: ghost instances pad every tile's run to a
     multiple of ``chunk``, so the *sorted array itself* is the chunk-aligned
@@ -178,6 +224,17 @@ def bin_instances_aligned(
     first Gaussian whose instance range would cross ``max_instances`` (the
     whole suffix is dropped — deterministic, counted in `truncated`).
     Output arrays have length max_instances + num_tiles·chunk.
+
+    ``tile_cull=True`` additionally drops every (gaussian, tile) instance
+    whose *maximum* α over the tile's pixel box is provably < 1/255 — the
+    exact ellipse–box test the reference's rect binning skips
+    (`rasterizer_impl.cu:94-140` bins the full bounding rect). Such
+    instances satisfy the kernel's α ≥ 1/255 skip for every pixel, so the
+    rendered image and final_T are unchanged; only `n_contrib`'s
+    position-based ranks shift (they count composited slots, reference
+    semantics counts all fetched instances). Culled instances become
+    ghost-region padding in-sort; per-tile counts are recovered with a
+    vectorized binary search.
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
@@ -200,9 +257,10 @@ def bin_instances_aligned(
     j = jnp.arange(max_instances, dtype=jnp.int32)
     g = jnp.clip(_owner_of_slot(offsets, max_instances), 0, tiles.shape[0] - 1)
     alive = j < total_eff
-    table = jnp.concatenate(
-        [prep.rect.astype(jnp.float32), prep.depths[:, None]], axis=-1
-    )
+    parts = [prep.rect.astype(jnp.float32), prep.depths[:, None]]
+    if tile_cull:
+        parts += [prep.means2d, prep.conic, prep.opacity[:, None]]
+    table = jnp.concatenate(parts, axis=-1)
     rows = table[g]
     x0 = rows[:, 0].astype(jnp.int32)
     width = jnp.maximum(rows[:, 2].astype(jnp.int32) - x0, 1)
@@ -212,7 +270,25 @@ def bin_instances_aligned(
     tile_id = ty * grid_x + tx - tile_lo
     in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
     tile_id = jnp.where(in_window, tile_id, num_tiles)
-    depth = jnp.where(in_window, rows[:, 4], jnp.inf)
+    keep = in_window
+    if tile_cull:
+        from omnigs_tpu.ops.preprocess import TILE
+
+        mx, my = rows[:, 5], rows[:, 6]
+        cA, cB, cC = rows[:, 7], rows[:, 8], rows[:, 9]
+        op = rows[:, 10]
+        px0 = (tx * TILE).astype(jnp.float32)
+        py0 = (ty * TILE).astype(jnp.float32)
+        qmin = _min_quad_over_box(
+            cA, cB, cC,
+            px0 - mx, px0 + (TILE - 1) - mx,
+            py0 - my, py0 + (TILE - 1) - my,
+        )
+        # max α over the tile = op·exp(-½·qmin); drop if even that < 1/255 —
+        # every pixel would fail the kernel's α ≥ ALPHA_MIN skip.
+        alpha_max = op * jnp.exp(-0.5 * qmin)
+        keep = keep & (alpha_max >= 1.0 / 255.0)
+    depth = jnp.where(keep, rows[:, 4], jnp.inf)
 
     # ghost padding instances (sort after reals of their tile via depth=inf)
     n_ghost = num_tiles * chunk
@@ -241,15 +317,18 @@ def bin_instances_aligned(
                 jnp.full((n_ghost,), max_instances, jnp.int32),
             ]
         )
-        _, _, sorted_g, sorted_e = jax.lax.sort(
+        _, sorted_depth, sorted_g, sorted_e = jax.lax.sort(
             (all_tile, all_depth, all_g, all_e), num_keys=2, is_stable=True
         )
         seg_lo = jnp.minimum(offsets, max_instances)
         seg_hi = jnp.minimum(offsets + tiles_eff, max_instances)
     else:
-        _, _, sorted_g = jax.lax.sort(
+        _, sorted_depth, sorted_g = jax.lax.sort(
             (all_tile, all_depth, all_g), num_keys=2, is_stable=True
         )
+
+    if tile_cull:
+        counts = _finite_counts(sorted_depth, astarts, padded)
 
     return BinnedInstances(
         sorted_g=sorted_g,

@@ -220,9 +220,9 @@ def _bwd_kernel(
     dinst_ref,  # (NROWS, R_pad) HBM (zero-initialized via alias)
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
-    gbuf,  # (NROWS, CHUNK) VMEM
+    gbuf,  # (2, NROWS, CHUNK) VMEM (double-buffered write-back)
     sems,  # DMA(2)
-    out_sem,  # DMA(1)
+    out_sem,  # DMA(2)
 ):
     pid = pl.program_id(0)
 
@@ -344,14 +344,27 @@ def _bwd_tile(
             jnp.dot(dL[:, 2:3].T, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
         ]
         rows += [zero_row] * (NROWS - len(rows))
-        gbuf[...] = jnp.concatenate(rows, axis=0)
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
-        out_dma = pltpu.make_async_copy(
-            gbuf,
-            dinst_ref.at[:, pl.ds(off, CHUNK)],
-            out_sem.at[0],
-        )
-        out_dma.start()
+
+        # double-buffered gradient write-back: before reusing this chunk's
+        # gbuf slot, wait for the DMA issued two chunks ago from the same
+        # slot (shape-identical copy, so the reconstructed descriptor's
+        # semaphore wait matches)
+        gslot = jax.lax.rem(c, 2)
+
+        def out_dma(s, cc):
+            off_cc = pl.multiple_of(start + cc * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                gbuf.at[s],
+                dinst_ref.at[:, pl.ds(off_cc, CHUNK)],
+                out_sem.at[s],
+            )
+
+        @pl.when(c >= 2)
+        def _():
+            out_dma(gslot, c - 2).wait()
+
+        gbuf[gslot] = jnp.concatenate(rows, axis=0)
+        out_dma(gslot, c).start()
 
         # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch
         chunk_color = jax.lax.dot_general(
@@ -365,7 +378,6 @@ def _bwd_tile(
             dL * chunk_color, axis=1, keepdims=True
         )
         N = N * jnp.exp(jnp.sum(l, axis=1, keepdims=True))
-        out_dma.wait()
         return c + 1, N, dL_dot_prefix
 
     init = (
@@ -379,6 +391,24 @@ def _bwd_tile(
     @pl.when(c_final < n_chunks)
     def _():
         get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+
+    # drain the last (up to two) in-flight gradient write-backs
+    def out_drain(cc):
+        off_cc = pl.multiple_of(start + cc * CHUNK, CHUNK)
+        s = jax.lax.rem(cc, 2)
+        return pltpu.make_async_copy(
+            gbuf.at[s],
+            dinst_ref.at[:, pl.ds(off_cc, CHUNK)],
+            out_sem.at[s],
+        )
+
+    @pl.when(c_final >= 2)
+    def _():
+        out_drain(c_final - 2).wait()
+
+    @pl.when(c_final >= 1)
+    def _():
+        out_drain(c_final - 1).wait()
 
 
 def _pad_instances(max_instances: int) -> int:
@@ -462,9 +492,9 @@ def composite_pallas_bwd(
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     zeros = jnp.zeros_like(inst_T)

@@ -58,6 +58,9 @@ class RasterConfig:
     # opacity-aware tight rects: output-identical, fewer instances; changes
     # only n_contrib ranks / radii stats vs the reference's fixed 3σ
     tight_culling: bool = False
+    # exact per-(gaussian, tile) ellipse–box culling in binning (Pallas
+    # backend only): image/final_T-identical, n_contrib ranks shift
+    tile_culling: bool = False
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -369,7 +372,8 @@ def rasterize(
         # one-pass binning straight into chunk-aligned slabs (TPU DMA
         # lane-alignment requirement) via ghost padding instances
         inst = bin_instances_aligned(
-            prep_sg, gx, gy, config.max_instances, PCHUNK
+            prep_sg, gx, gy, config.max_instances, PCHUNK,
+            tile_cull=config.tile_culling,
         )
         t_ids = np.arange(gx * gy)
         x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)

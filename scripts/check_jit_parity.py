@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Regression check: jitted full render must match the eager pipeline.
+
+Guards the binning layout invariant against XLA producer-duplication
+rounding divergence (see the optimization_barrier note in
+omnigs_tpu/ops/preprocess.py). Must run on the real TPU — the CPU test
+suite cannot reproduce the fusion behavior.
+
+Exit 0 iff max |jit - eager| image error < 0.05 at bench scale (observed:
+~0.0025 healthy, ~0.78 when the invariant is broken).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from omnigs_tpu.cameras import Camera, CameraType
+    from omnigs_tpu.ops.rasterize import RasterConfig
+    from omnigs_tpu.train.renderer import render_model
+    from __graft_entry__ import _example_model
+
+    model = _example_model(capacity=1 << 17, n=1 << 17)
+    cam = Camera(CameraType.LONLAT, 1920, 960)
+    cfg = RasterConfig(
+        max_instances=1 << 21,
+        backend="pallas",
+        tight_culling=True,
+        tile_culling=True,
+    )
+
+    def render():
+        return render_model(
+            model, cam, jnp.eye(4), jnp.zeros(3), jnp.zeros(3),
+            sh_degree=3, config=cfg,
+        )
+
+    eager = render()
+    jitted = jax.jit(render)()
+    err = float(jnp.abs(jitted.image - eager.image).max())
+    ok = err < 0.05
+    print(f"jit-vs-eager max image error: {err:.6f}  ({'OK' if ok else 'FAIL'})")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

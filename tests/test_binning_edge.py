@@ -174,3 +174,61 @@ def test_pole_gaussian_renders():
     assert float(img.sum()) > 0  # bottom rows light up (y-down = lat > 0)
     g = jax.grad(lambda m: jnp.sum(render(m)))(params["means3d"])
     assert bool(jnp.isfinite(g).all())
+
+
+def test_tile_cull_counts_match_bruteforce():
+    """tile_cull counts == brute-force count of instances whose max alpha
+    over the tile pixel box reaches 1/255."""
+    import jax
+    from omnigs_tpu.cameras import Camera, CameraType
+    from omnigs_tpu.ops.binning import bin_instances_aligned
+    from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
+    from helpers import random_cloud
+
+    camera = Camera(CameraType.LONLAT, 64, 48)
+    gx, gy = tile_grid(camera)
+    params = random_cloud(jax.random.PRNGKey(11), 32)
+    prep = preprocess(
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], params["shs"], camera, jnp.eye(4),
+        jnp.zeros(3), 2,
+    )
+    inst = bin_instances_aligned(prep, gx, gy, 1 << 12, 128, tile_cull=True)
+
+    rect = np.asarray(prep.rect)
+    conic = np.asarray(prep.conic)
+    m2d = np.asarray(prep.means2d)
+    op = np.asarray(prep.opacity)
+    tiles = np.asarray(prep.tiles_touched)
+    expected = np.zeros(gx * gy, np.int32)
+    for p in range(rect.shape[0]):
+        if tiles[p] == 0:
+            continue
+        x0, y0, x1, y1 = rect[p]
+        A, B, C = conic[p]
+        for ty in range(y0, y1):
+            for tx in range(x0, x1):
+                best = 0.0
+                lo_x, lo_y = tx * TILE, ty * TILE
+                pts = [
+                    (px, py)
+                    for px in range(lo_x, lo_x + TILE)
+                    for py in range(lo_y, lo_y + TILE)
+                ]
+                for px, py in pts:
+                    dx, dy = m2d[p, 0] - px, m2d[p, 1] - py
+                    q = A * dx * dx + 2 * B * dx * dy + C * dy * dy
+                    best = max(best, float(np.exp(-0.5 * q)))
+                if op[p] * best >= 1.0 / 255.0:
+                    expected[ty * gx + tx] += 1
+    counts = np.asarray(inst.counts)
+    # never drop an instance that reaches 1/255 at any pixel center
+    # (the cull bound is continuous-box-exact, hence conservative for the
+    # pixel grid: counts may exceed expected, never undershoot)
+    assert (counts >= expected).all()
+    # and it must actually cull relative to rect coverage
+    cover = np.asarray(
+        bin_instances_aligned(prep, gx, gy, 1 << 12, 128).counts
+    )
+    assert (counts <= cover).all()
+    assert counts.sum() < cover.sum()

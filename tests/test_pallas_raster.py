@@ -110,3 +110,56 @@ def test_pallas_ndc_grads():
     g = jax.grad(loss)(zeros)
     assert bool(jnp.isfinite(g).all())
     assert float(jnp.abs(g).max()) > 0
+
+
+def test_pallas_tile_culling_output_identical():
+    """Exact ellipse-box culling must not change image or final_T (it only
+    drops instances that composite exactly zero for every pixel)."""
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    bg = jnp.array([0.2, 0.1, 0.4])
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    cull_cfg = dataclasses.replace(PAL_CFG, tile_culling=True)
+    for seed in (0, 5):
+        params = random_cloud(jax.random.PRNGKey(seed), 40)
+        ref = _render(params, camera, vm, campos, bg, 2, PAL_CFG)
+        got = _render(params, camera, vm, campos, bg, 2, cull_cfg)
+        np.testing.assert_allclose(got.image, ref.image, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            got.final_T, ref.final_T, rtol=1e-5, atol=1e-7
+        )
+
+
+def test_pallas_tile_culling_grads_match():
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    params = random_cloud(jax.random.PRNGKey(7), 24)
+    bg = jnp.zeros(3)
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(32, 64, 3)
+    cull_cfg = dataclasses.replace(PAL_CFG, tile_culling=True)
+
+    def loss(cfg):
+        def f(means, scales, quats, opac, shs):
+            p = dict(
+                means3d=means, scales=scales, quats=quats, opacities=opac,
+                shs=shs,
+            )
+            res = _render(p, camera, vm, campos, bg, 2, cfg)
+            return jnp.mean((res.image - target) ** 2)
+
+        return f
+
+    args = (
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], params["shs"],
+    )
+    g_ref = jax.grad(loss(PAL_CFG), argnums=(0, 1, 2, 3, 4))(*args)
+    g_cul = jax.grad(loss(cull_cfg), argnums=(0, 1, 2, 3, 4))(*args)
+    for go, gp, name in zip(
+        g_ref, g_cul, ["means", "scales", "quats", "opacity", "sh"]
+    ):
+        scale = float(jnp.abs(go).max()) + 1e-12
+        np.testing.assert_allclose(
+            gp, go, rtol=1e-4, atol=1e-6 * scale, err_msg=name
+        )
