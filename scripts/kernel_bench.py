@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Per-stage microbench of the Pallas rasterization pipeline on one chip.
+
+Times each stage of the production path standalone (preprocess, aligned
+binning, instance-slab build, fwd kernel, bwd kernel, gradient reduction
+variants) at the same workload as bench.py, so kernel work can be attributed
+and optimizations measured in isolation.
+
+Usage: python scripts/kernel_bench.py [--stages fwd bwd red]
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def timeit(fn, *args, n=20, warmup=2):
+    """Time a jitted fn reliably: reduce every output to one scalar inside
+    the jit and fetch it — `block_until_ready` alone can return before the
+    work completes on the tunneled TPU backend (measured: a 69 ms gather
+    "completes" in 0.04 ms under block_until_ready)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def wrapped(*a):
+        out = fn(*a)
+        leaves = [
+            x
+            for x in jax.tree_util.tree_leaves(out)
+            if hasattr(x, "dtype")
+        ]
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    for _ in range(warmup):
+        out = wrapped(*args)
+    float(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = wrapped(*args)
+    float(out)
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", nargs="*", default=None)
+    ap.add_argument("--gaussians", type=int, default=1 << 17)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=960)
+    ap.add_argument("--max-instances", type=int, default=1 << 21)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnigs_tpu.cameras import Camera, CameraType
+    from omnigs_tpu.ops.binning import bin_instances_aligned
+    from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
+    from omnigs_tpu.ops import pallas_raster as pr
+    from __graft_entry__ import _example_model
+
+    W, H = args.width, args.height
+    P = args.gaussians
+    R = args.max_instances
+    camera = Camera(CameraType.LONLAT, W, H)
+    gx, gy = tile_grid(camera)
+    num_tiles = gx * gy
+    model = _example_model(capacity=P, n=P)
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+
+    want = lambda s: args.stages is None or s in args.stages
+
+    def prep_fn(xyz, scaling, rotation, opacity, f_dc, f_rest, active):
+        scales = jnp.exp(scaling)
+        quats = rotation / jnp.linalg.norm(rotation, axis=-1, keepdims=True)
+        ops_ = jax.nn.sigmoid(opacity[:, 0])
+        shs = jnp.concatenate([f_dc, f_rest], axis=1)
+        return preprocess(
+            xyz, scales, quats, ops_, shs, camera, vm, campos, 3,
+            tight_culling=True,
+        )
+
+    prep_j = jax.jit(prep_fn)
+    margs = (
+        model.xyz, model.scaling, model.rotation, model.opacity,
+        model.features_dc, model.features_rest, model.active,
+    )
+    prep = prep_j(*margs)
+    jax.block_until_ready(prep)
+    print(f"workload: P={P} {W}x{H} tiles={num_tiles} R={R}")
+
+    if want("prep"):
+        print(f"preprocess            {timeit(prep_j, *margs):8.2f} ms")
+
+    bin_j = jax.jit(
+        lambda p: bin_instances_aligned(
+            p, gx, gy, R, pr.CHUNK, tile_cull=True
+        )
+    )
+    inst = bin_j(prep)
+    jax.block_until_ready(inst)
+    n_inst = int(inst.num_instances)
+    n_comp = int(jnp.sum(inst.counts))
+    print(
+        f"instances: emitted={n_inst} composited={n_comp} "
+        f"avg/tile={n_comp / num_tiles:.0f} truncated={int(inst.truncated)}"
+    )
+    if want("bin"):
+        print(f"binning (aligned+cull){timeit(bin_j, prep):8.2f} ms")
+
+    build_j = jax.jit(
+        lambda p, sg: pr._build_inst(p.means2d, p.conic, p.rgb, p.opacity, sg)
+    )
+    inst_T = build_j(prep, inst.sorted_g)
+    jax.block_until_ready(inst_T)
+    if want("build"):
+        print(f"build slab            {timeit(build_j, prep, inst.sorted_g):8.2f} ms")
+
+    t_ids = np.arange(num_tiles)
+    x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
+    y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)
+
+    fwd_j = jax.jit(
+        lambda iT, s, c: pr.composite_pallas_fwd(iT, s, c, x0, y0, num_tiles)
+    )
+    color, finalT, ncontrib = fwd_j(inst_T, inst.starts, inst.counts)
+    jax.block_until_ready(color)
+    if want("fwd"):
+        print(f"fwd kernel            {timeit(fwd_j, inst_T, inst.starts, inst.counts):8.2f} ms")
+
+    bg = jnp.zeros(3)
+    color_full = color + finalT[..., None] * bg[None, None, :]
+    dcolor = jnp.ones_like(color_full) / (W * H)
+    bwd_j = jax.jit(
+        lambda iT, s, c, cf, dc: pr.composite_pallas_bwd(
+            iT, s, c, x0, y0, cf, dc, num_tiles
+        )
+    )
+    dinst = bwd_j(inst_T, inst.starts, inst.counts, color_full, dcolor)
+    jax.block_until_ready(dinst)
+    if want("bwd"):
+        print(f"bwd kernel            {timeit(bwd_j, inst_T, inst.starts, inst.counts, color_full, dcolor):8.2f} ms")
+
+    if want("red"):
+        r = inst.sorted_g.shape[0]
+
+        def red_scatter9(di, sg):
+            rows = di[:9, :r].T
+            return jnp.zeros((P, 9)).at[sg].add(rows)
+
+        def red_scatter16(di, sg):
+            rows = di[:, :r].T
+            return jnp.zeros((P, 16)).at[sg].add(rows)
+
+        print(f"red: scatter-add (R,9){timeit(jax.jit(red_scatter9), dinst, inst.sorted_g):8.2f} ms")
+        print(f"red: scatter-add(R,16){timeit(jax.jit(red_scatter16), dinst, inst.sorted_g):8.2f} ms")
+
+        bin_e_j = jax.jit(
+            lambda p: bin_instances_aligned(
+                p, gx, gy, R, pr.CHUNK, with_emission=True, tile_cull=True
+            )
+        )
+        inst_e = bin_e_j(prep)
+        jax.block_until_ready(inst_e)
+        print(f"binning w/ emission   {timeit(bin_e_j, prep):8.2f} ms")
+
+        def red_emit(di, se, lo, hi):
+            rows = di[:9, :r].T
+            r_emit = se.shape[0] - num_tiles * pr.CHUNK
+            emission = jnp.zeros((r_emit, 9)).at[se].set(rows, mode="drop")
+            cs = jnp.concatenate(
+                [jnp.zeros((1, 9)), jnp.cumsum(emission, axis=0)], axis=0
+            )
+            return cs[hi] - cs[lo]
+
+        print(f"red: emission segdiff {timeit(jax.jit(red_emit), dinst, inst_e.sorted_e, inst_e.seg_lo, inst_e.seg_hi):8.2f} ms")
+
+        def red_sortsum(di, sg):
+            rows = di[:9, :r].T
+            order_keys = [sg] + [rows[:, i] for i in range(9)]
+            out = jax.lax.sort(tuple(order_keys), num_keys=1, is_stable=False)
+            sid = out[0]
+            srows = jnp.stack(out[1:], axis=-1)
+            cs = jnp.cumsum(srows, axis=0)
+            # segment ends: last occurrence of each id
+            idx = jnp.searchsorted(sid, jnp.arange(P + 1, dtype=sg.dtype))
+            csz = jnp.concatenate([jnp.zeros((1, 9)), cs], axis=0)
+            return csz[idx[1:]] - csz[idx[:-1]]
+
+        print(f"red: sort+segsum      {timeit(jax.jit(red_sortsum), dinst, inst.sorted_g):8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
