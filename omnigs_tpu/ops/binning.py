@@ -71,6 +71,16 @@ def _owner_of_slot(boundaries: jnp.ndarray, num_slots: int) -> jnp.ndarray:
     return jnp.cumsum(marks) - 1
 
 
+def _sorted_histogram(keys: jnp.ndarray, num_bins: int) -> jnp.ndarray:
+    """Per-bin counts of int32 ``keys`` ∈ [0, num_bins] via a single-operand
+    sort + vectorized binary search. A scatter-add histogram costs ~16 µs per
+    1k rows on TPU (scalar path); one 1-key sort of millions of rows is ~3 ms."""
+    skeys = jax.lax.sort((keys,), num_keys=1, is_stable=False)[0]
+    bins = jnp.arange(num_bins + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(skeys, bins, side="left").astype(jnp.int32)
+    return edges[1:] - edges[:-1]
+
+
 def bin_instances(
     prep: Preprocessed,
     grid_x: int,
@@ -96,21 +106,39 @@ def bin_instances(
     g = jnp.clip(_owner_of_slot(offsets, max_instances), 0, tiles.shape[0] - 1)
     alive = j < total
 
-    # one row gather for everything the expansion needs: [x0 y0 x1 y1 depth]
+    # One row gather for everything the expansion needs, *including the
+    # per-Gaussian emission offset* (as an exact-below-2^24 f32 value — NOT a
+    # bitcast: int32 bits < 2^23 are f32 denormals, which the TPU transpose
+    # below flushes to zero): a standalone 1-D ``offsets[g]`` gather lowers
+    # to the TPU scalar path and costs ~45 ms at 2M instances; as a table
+    # column it is free.
+    assert max_instances < 1 << 24, "offsets ride an f32 column exactly"
     table = jnp.concatenate(
-        [prep.rect.astype(jnp.float32), prep.depths[:, None]], axis=-1
-    )  # (P, 5)
-    rows = table[g]
-    x0 = rows[:, 0].astype(jnp.int32)
-    y0 = rows[:, 1].astype(jnp.int32)
-    width = jnp.maximum(rows[:, 2].astype(jnp.int32) - x0, 1)
-    local = j - offsets[g]
+        [
+            prep.rect.astype(jnp.float32),
+            prep.depths[:, None],
+            offsets.astype(jnp.float32)[:, None],
+        ],
+        axis=-1,
+    )  # (P, 6)
+    # column-major flatten forces one physical transpose so the per-column
+    # reads below are contiguous (column slices of a row-major (R, C) table
+    # each re-scan the whole lane-padded table)
+    flat = jax.lax.optimization_barrier(table[g].T.reshape(-1))
+    cols = [
+        jax.lax.dynamic_slice_in_dim(flat, c * max_instances, max_instances)
+        for c in range(table.shape[1])
+    ]
+    x0 = cols[0].astype(jnp.int32)
+    y0 = cols[1].astype(jnp.int32)
+    width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
+    local = j - cols[5].astype(jnp.int32)
     tx = x0 + local % width
     ty = y0 + local // width
     tile_id = ty * grid_x + tx - tile_lo  # window-local tile index
     in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
     tile_id = jnp.where(in_window, tile_id, num_tiles)
-    depth = jnp.where(in_window, rows[:, 4], jnp.inf)
+    depth = jnp.where(in_window, cols[4], jnp.inf)
 
     sorted_tile, _, sorted_g = jax.lax.sort(
         (tile_id, depth, g), num_keys=2, is_stable=True
@@ -181,27 +209,6 @@ def _min_quad_over_box(A, B, C, u0, u1, v0, v1):
     return jnp.where(inside, 0.0, qmin)
 
 
-def _finite_counts(sorted_depth, astarts, padded):
-    """Per-tile count of finite-depth (non-ghost) instances in each tile's
-    aligned segment — vectorized binary search over the sorted depth array
-    (reals sort before +inf ghosts within a tile)."""
-    n = sorted_depth.shape[0]
-    lo = astarts
-    hi = astarts + padded
-
-    def body(_, lh):
-        lo, hi = lh
-        active = lo < hi
-        mid = jnp.clip((lo + hi) // 2, 0, n - 1)
-        finite = sorted_depth[mid] < jnp.inf
-        lo = jnp.where(active & finite, mid + 1, lo)
-        hi = jnp.where(active & ~finite, mid, hi)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, 26, body, (lo, hi))
-    return lo - astarts
-
-
 def bin_instances_aligned(
     prep: Preprocessed,
     grid_x: int,
@@ -219,11 +226,13 @@ def bin_instances_aligned(
 
     Ghosts carry depth=+∞ so they sort after their tile's real instances
     (and are masked in-kernel by the true count). Per-tile counts come from
-    `tile_cover_counts` *before* the sort; to keep them consistent with the
-    emitted instances under capacity truncation, emission is cut at the
-    first Gaussian whose instance range would cross ``max_instances`` (the
-    whole suffix is dropped — deterministic, counted in `truncated`).
-    Output arrays have length max_instances + num_tiles·chunk.
+    a 1-key mini-sort histogram of the emitted tile ids *before* the main
+    sort; to keep them consistent with the emitted instances under capacity
+    truncation, emission is cut at the first Gaussian whose instance range
+    would cross ``max_instances`` (the whole suffix is dropped —
+    deterministic, counted in `truncated`). Output arrays have length
+    max_instances + num_tiles·chunk, but all live segments occupy a compact
+    prefix (see RasterConfig.aligned_cap).
 
     ``tile_cull=True`` additionally drops every (gaussian, tile) instance
     whose *maximum* α over the tile's pixel box is provably < 1/255 — the
@@ -232,9 +241,8 @@ def bin_instances_aligned(
     instances satisfy the kernel's α ≥ 1/255 skip for every pixel, so the
     rendered image and final_T are unchanged; only `n_contrib`'s
     position-based ranks shift (they count composited slots, reference
-    semantics counts all fetched instances). Culled instances become
-    ghost-region padding in-sort; per-tile counts are recovered with a
-    vectorized binary search.
+    semantics counts all fetched instances). Culled instances leave the
+    tile window entirely, so segments are sized by surviving counts.
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
@@ -247,36 +255,48 @@ def bin_instances_aligned(
     tiles_eff = jnp.where(kept, tiles, 0)
     total_eff = jnp.sum(tiles_eff)
 
-    counts = tile_cover_counts(
-        prep.rect, kept & (tiles > 0), grid_x, grid_y, tile_lo, num_tiles
-    )
-    padded = ((counts + chunk - 1) // chunk) * chunk
-    astarts = jnp.cumsum(padded) - padded
-
-    # real instances
+    # real instances — one row gather for everything the expansion needs,
+    # including the per-Gaussian emission offset as an exact-below-2^24 f32
+    # value — NOT a bitcast: int32 bits < 2^23 are f32 denormals, which the
+    # TPU transpose below flushes to zero. (A standalone 1-D ``offsets[g]``
+    # gather lowers to the TPU scalar path: ~45 ms at 2M instances; as a
+    # table column it is free.)
+    assert max_instances < 1 << 24, "offsets ride an f32 column exactly"
     j = jnp.arange(max_instances, dtype=jnp.int32)
     g = jnp.clip(_owner_of_slot(offsets, max_instances), 0, tiles.shape[0] - 1)
     alive = j < total_eff
-    parts = [prep.rect.astype(jnp.float32), prep.depths[:, None]]
+    parts = [
+        prep.rect.astype(jnp.float32),
+        prep.depths[:, None],
+        offsets.astype(jnp.float32)[:, None],
+    ]
     if tile_cull:
         parts += [prep.means2d, prep.conic, prep.opacity[:, None]]
     table = jnp.concatenate(parts, axis=-1)
-    rows = table[g]
-    x0 = rows[:, 0].astype(jnp.int32)
-    width = jnp.maximum(rows[:, 2].astype(jnp.int32) - x0, 1)
-    local = j - offsets[g]
+    ncol = table.shape[1]
+    # column-major flatten forces ONE physical transpose: XLA pads the minor
+    # dim of a (R, C) row-major table to 128 lanes, so every column slice of
+    # it re-scans ~10× the data (measured 22 ms for 12 columns at R=2M; this
+    # costs 9 ms)
+    flat = jax.lax.optimization_barrier(table[g].T.reshape(-1))
+    cols = [
+        jax.lax.dynamic_slice_in_dim(flat, c * max_instances, max_instances)
+        for c in range(ncol)
+    ]
+    x0 = cols[0].astype(jnp.int32)
+    width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
+    local = j - cols[5].astype(jnp.int32)
     tx = x0 + local % width
-    ty = rows[:, 1].astype(jnp.int32) + local // width
+    ty = cols[1].astype(jnp.int32) + local // width
     tile_id = ty * grid_x + tx - tile_lo
     in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
-    tile_id = jnp.where(in_window, tile_id, num_tiles)
     keep = in_window
     if tile_cull:
         from omnigs_tpu.ops.preprocess import TILE
 
-        mx, my = rows[:, 5], rows[:, 6]
-        cA, cB, cC = rows[:, 7], rows[:, 8], rows[:, 9]
-        op = rows[:, 10]
+        mx, my = cols[6], cols[7]
+        cA, cB, cC = cols[8], cols[9], cols[10]
+        op = cols[11]
         px0 = (tx * TILE).astype(jnp.float32)
         py0 = (ty * TILE).astype(jnp.float32)
         qmin = _min_quad_over_box(
@@ -288,7 +308,25 @@ def bin_instances_aligned(
         # every pixel would fail the kernel's α ≥ ALPHA_MIN skip.
         alpha_max = op * jnp.exp(-0.5 * qmin)
         keep = keep & (alpha_max >= 1.0 / 255.0)
-    depth = jnp.where(keep, rows[:, 4], jnp.inf)
+    # culled/dead instances leave the window entirely (they sort into the
+    # tail garbage past every tile's segment, which aligned_cap slices off
+    # downstream) so per-tile segments are sized by *surviving* counts —
+    # the live slab shrinks by the culled fraction and no post-sort
+    # finite-count recovery is needed.
+    tile_id = jnp.where(keep, tile_id, num_tiles)
+    depth = jnp.where(keep, cols[4], jnp.inf)
+    # materialize once: both sorts below consume these, and XLA otherwise
+    # duplicates the whole expansion chain (a full re-scan of the gathered
+    # table) into each consumer fusion — measured ~19 ms of recompute
+    tile_id, depth, g, keep = jax.lax.optimization_barrier(
+        (tile_id, depth, g, keep)
+    )
+
+    # exact per-tile counts of surviving instances (pre-sort, needed for the
+    # ghost padding budget): 1-key mini-sort histogram
+    counts = _sorted_histogram(tile_id, num_tiles)
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    astarts = jnp.cumsum(padded) - padded
 
     # ghost padding instances (sort after reals of their tile via depth=inf)
     n_ghost = num_tiles * chunk
@@ -313,22 +351,19 @@ def bin_instances_aligned(
         # the plain scatter-add on v5e — kept for larger-R regimes.)
         all_e = jnp.concatenate(
             [
-                jnp.where(in_window, j, max_instances),
+                jnp.where(keep, j, max_instances),
                 jnp.full((n_ghost,), max_instances, jnp.int32),
             ]
         )
-        _, sorted_depth, sorted_g, sorted_e = jax.lax.sort(
+        _, _, sorted_g, sorted_e = jax.lax.sort(
             (all_tile, all_depth, all_g, all_e), num_keys=2, is_stable=True
         )
         seg_lo = jnp.minimum(offsets, max_instances)
         seg_hi = jnp.minimum(offsets + tiles_eff, max_instances)
     else:
-        _, sorted_depth, sorted_g = jax.lax.sort(
+        _, _, sorted_g = jax.lax.sort(
             (all_tile, all_depth, all_g), num_keys=2, is_stable=True
         )
-
-    if tile_cull:
-        counts = _finite_counts(sorted_depth, astarts, padded)
 
     return BinnedInstances(
         sorted_g=sorted_g,

@@ -61,6 +61,12 @@ class RasterConfig:
     # exact per-(gaussian, tile) ellipse–box culling in binning (Pallas
     # backend only): image/final_T-identical, n_contrib ranks shift
     tile_culling: bool = False
+    # static bound on the *live* aligned slab (sum of chunk-padded per-tile
+    # counts). The slab build gather and the backward instance→Gaussian
+    # scatter-add scale linearly with this; the default (max_instances +
+    # num_tiles·chunk) never drops anything. Tiles whose segment would cross
+    # the cap are dropped deterministically and counted in `truncated`.
+    aligned_cap: int | None = None
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -375,6 +381,24 @@ def rasterize(
             prep_sg, gx, gy, config.max_instances, PCHUNK,
             tile_cull=config.tile_culling,
         )
+        truncated = inst.truncated
+        sorted_g, sorted_e = inst.sorted_g, inst.sorted_e
+        starts, counts = inst.starts, inst.counts
+        cap = config.aligned_cap
+        # (the emission segment-diff path derives its emission length from
+        # sorted_e's full shape — cap-trimming doesn't compose with it)
+        if cap is not None and cap < sorted_g.shape[0] and sorted_e is None:
+            # trim the slab to its live prefix: downstream gathers/scatters
+            # scale with slab length, and the padded segments occupy only
+            # the front of the sorted array
+            padded = ((counts + PCHUNK - 1) // PCHUNK) * PCHUNK
+            fits = starts + padded <= cap
+            truncated = truncated + jnp.sum(jnp.where(fits, 0, counts))
+            counts = jnp.where(fits, counts, 0)
+            starts = jnp.clip(starts, 0, cap - PCHUNK)
+            sorted_g = sorted_g[:cap]
+            if sorted_e is not None:
+                sorted_e = sorted_e[:cap]
         t_ids = np.arange(gx * gy)
         x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
         y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)
@@ -384,19 +408,18 @@ def rasterize(
             rgb,
             prep.opacity,
             bg,
-            inst.sorted_g,
-            inst.starts,
-            inst.counts,
+            sorted_g,
+            starts,
+            counts,
             x0,
             y0,
-            inst.sorted_e,
+            sorted_e,
             inst.seg_lo,
             inst.seg_hi,
             gx * gy,
             config.interpret,
         )
         overflow = jnp.zeros((), jnp.int32)  # no per-tile cap in this path
-        truncated = inst.truncated
     else:
         binned = bin_gaussians(
             prep_sg,

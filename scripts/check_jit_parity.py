@@ -45,7 +45,38 @@ def main():
     err = float(jnp.abs(jitted.image - eager.image).max())
     ok = err < 0.05
     print(f"jit-vs-eager max image error: {err:.6f}  ({'OK' if ok else 'FAIL'})")
-    sys.exit(0 if ok else 1)
+
+    # Cross-backend check at reduced scale: the Pallas pipeline (binning +
+    # kernels) must match the independent XLA compositor ON CHIP. Catches
+    # whole-pipeline breakage that jit-vs-eager can't (e.g. the TPU
+    # denormal-flush-in-transpose bug zeroed the emission offsets in BOTH
+    # jit and eager, rendering almost nothing, and still "matched").
+    small = _example_model(capacity=1 << 14, n=1 << 14)
+    cam_s = Camera(CameraType.LONLAT, 640, 320)
+    cfg_p = RasterConfig(
+        max_instances=1 << 18, backend="pallas",
+        tight_culling=True, tile_culling=True,
+    )
+    cfg_x = RasterConfig(
+        max_instances=1 << 18, backend="xla", tile_cap=2048,
+        tight_culling=True,
+    )
+
+    def render_small(cfg):
+        return jax.jit(lambda: render_model(
+            small, cam_s, jnp.eye(4), jnp.zeros(3), jnp.zeros(3),
+            sh_degree=3, config=cfg,
+        ))()
+
+    rp, rx = render_small(cfg_p), render_small(cfg_x)
+    xerr = float(jnp.abs(rp.image - rx.image).max())
+    xmean = float(jnp.abs(rx.image).mean())
+    xok = xerr < 0.05 and xmean > 1e-3
+    print(
+        f"pallas-vs-xla max image error: {xerr:.6f} "
+        f"(mean |img| {xmean:.4f})  ({'OK' if xok else 'FAIL'})"
+    )
+    sys.exit(0 if (ok and xok) else 1)
 
 
 if __name__ == "__main__":
