@@ -99,8 +99,10 @@ def lonlat_project(t: jnp.ndarray, width: int, height: int):
     return pix, r, valid
 
 
-def lonlat_jacobian(t: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
-    """∂pixel/∂t for the equirect map (`forward.cu:146-167`), shape (..., 2, 3).
+def lonlat_jacobian_rows(t: jnp.ndarray, width: int, height: int):
+    """∂pixel/∂t for the equirect map (`forward.cu:146-167`) as component
+    columns ((Jx0, Jx1, Jx2), (Jy0, Jy1, Jy2)) — the layout-friendly form
+    (stacking into (..., 2, 3) forces tiny-tile TPU layouts downstream).
 
     dpx/dt = (W/2π)·[z, 0, -x] / (x²+z²)
     dpy/dt = (H/π)·[-xy, r_xz², -zy] / (r_xz · r²)
@@ -118,18 +120,21 @@ def lonlat_jacobian(t: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     h_pi = height / jnp.pi
 
     zeros = jnp.zeros_like(x)
-    row_x = jnp.stack(
-        [w_2pi * z * rxz2_inv, zeros, -w_2pi * x * rxz2_inv], axis=-1
+    row_x = (w_2pi * z * rxz2_inv, zeros, -w_2pi * x * rxz2_inv)
+    row_y = (
+        -h_pi * x * y * rxz_inv * rr_inv,
+        h_pi * rxz * rr_inv,
+        -h_pi * z * y * rxz_inv * rr_inv,
     )
-    row_y = jnp.stack(
-        [
-            -h_pi * x * y * rxz_inv * rr_inv,
-            h_pi * rxz * rr_inv,
-            -h_pi * z * y * rxz_inv * rr_inv,
-        ],
-        axis=-1,
+    return row_x, row_y
+
+
+def lonlat_jacobian(t: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Stacked (..., 2, 3) form of `lonlat_jacobian_rows`."""
+    row_x, row_y = lonlat_jacobian_rows(t, width, height)
+    return jnp.stack(
+        [jnp.stack(row_x, axis=-1), jnp.stack(row_y, axis=-1)], axis=-2
     )
-    return jnp.stack([row_x, row_y], axis=-2)
 
 
 def pinhole_project(
@@ -159,10 +164,12 @@ def pinhole_project(
     return pix, depth, valid
 
 
-def pinhole_jacobian(
+def pinhole_jacobian_rows(
     t: jnp.ndarray, fx: float, fy: float, tan_fovx: float, tan_fovy: float
-) -> jnp.ndarray:
-    """Perspective EWA Jacobian with the 1.3·tan(fov) clamp (`forward.cu:94-106`)."""
+):
+    """Perspective EWA Jacobian with the 1.3·tan(fov) clamp
+    (`forward.cu:94-106`), as component columns (see
+    `lonlat_jacobian_rows`)."""
     limx = 1.3 * tan_fovx
     limy = 1.3 * tan_fovy
     z = t[..., 2]
@@ -171,9 +178,19 @@ def pinhole_jacobian(
     inv_z = 1.0 / z
     inv_z2 = inv_z * inv_z
     zeros = jnp.zeros_like(z)
-    row_x = jnp.stack([fx * inv_z, zeros, -fx * tx * inv_z2], axis=-1)
-    row_y = jnp.stack([zeros, fy * inv_z, -fy * ty * inv_z2], axis=-1)
-    return jnp.stack([row_x, row_y], axis=-2)
+    row_x = (fx * inv_z, zeros, -fx * tx * inv_z2)
+    row_y = (zeros, fy * inv_z, -fy * ty * inv_z2)
+    return row_x, row_y
+
+
+def pinhole_jacobian(
+    t: jnp.ndarray, fx: float, fy: float, tan_fovx: float, tan_fovy: float
+) -> jnp.ndarray:
+    """Stacked (..., 2, 3) form of `pinhole_jacobian_rows`."""
+    row_x, row_y = pinhole_jacobian_rows(t, fx, fy, tan_fovx, tan_fovy)
+    return jnp.stack(
+        [jnp.stack(row_x, axis=-1), jnp.stack(row_y, axis=-1)], axis=-2
+    )
 
 
 def focal2fov(focal: float, pixels: int) -> float:

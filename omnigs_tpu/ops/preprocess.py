@@ -21,9 +21,9 @@ import jax.numpy as jnp
 from omnigs_tpu.cameras import (
     Camera,
     CameraType,
-    lonlat_jacobian,
+    lonlat_jacobian_rows,
     lonlat_project,
-    pinhole_jacobian,
+    pinhole_jacobian_rows,
     pinhole_project,
     world_to_cam,
 )
@@ -122,7 +122,7 @@ def preprocess(
         in_front = jnp.sum(t * t, axis=-1) > 0.04  # `too_close` cull
         t_safe = jnp.where(in_front[..., None], t, safe_point)
         means2d, depths, _ = lonlat_project(t_safe, W, H)
-        J = lonlat_jacobian(t_safe, W, H)
+        j_rows = lonlat_jacobian_rows(t_safe, W, H)
     elif camera.camera_type == CameraType.PINHOLE:
         if full_proj is None:
             raise ValueError("pinhole camera requires full_proj")
@@ -136,20 +136,26 @@ def preprocess(
         means2d, depths, _ = pinhole_project(
             t_safe, W, H, full_proj, means3d_safe
         )
-        J = pinhole_jacobian(
+        j_rows = pinhole_jacobian_rows(
             t_safe, camera.fx, camera.fy, camera.tan_fovx, camera.tan_fovy
         )
     else:
         raise NotImplementedError(f"camera_type {camera.camera_type}")
 
+    # Covariance chain in component (column) form: the batched
+    # (P, 2, 3)/(P, 3, 3) matmul form lowers to bf16 convolutions with
+    # tiny-tile layouts on TPU — ~20 ms of pure layout shuffling at P=131k.
     if cov3d_precomp is None:
-        cov3d = cov_ops.build_cov3d(scales, quats, scale_modifier)
+        cov6 = cov_ops.build_cov3d_components(scales, quats, scale_modifier)
     else:
-        cov3d = cov3d_precomp
-    cov2d = cov_ops.project_cov3d(cov3d, J, viewmatrix[:3, :3])
-    conic, det = cov_ops.invert_cov2d(cov2d)
-    radii = cov_ops.cov2d_extent(
-        cov2d, det, opacity=opacities if tight_culling else None
+        cov6 = tuple(cov3d_precomp[..., i] for i in range(6))
+    c2a, c2b, c2c = cov_ops.project_cov3d_components(
+        cov6, j_rows, viewmatrix[:3, :3]
+    )
+    (cA, cB, cC), det = cov_ops.invert_cov2d_components(c2a, c2b, c2c)
+    conic = jnp.stack([cA, cB, cC], axis=-1)
+    radii = cov_ops.cov2d_extent_components(
+        c2a, c2c, det, opacity=opacities if tight_culling else None
     )
 
     rect = compute_rect(means2d, radii, gx, gy)
