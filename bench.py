@@ -37,7 +37,7 @@ def main():
     vm = jnp.eye(4)
     campos = jnp.zeros(3)
     bg = jnp.zeros(3)
-    gt = jnp.zeros((H, W, 3))
+    gt = jnp.zeros((3, H, W))
 
     def loss_fn(params):
         m = model.with_params(params)

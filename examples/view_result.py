@@ -36,16 +36,17 @@ def main():
 
     @jax.jit
     def _render_color(vm, campos):
+        # CHW -> HWC at the io boundary (the viewer encodes a PNG)
         return render_model(
             model, camera, vm, campos, jnp.zeros(3), 3, cfg
-        ).image
+        ).image.transpose(1, 2, 0)
 
     @jax.jit
     def _render_depth(vm, campos):
         res = render_model(
             model, camera, vm, campos, jnp.zeros(3), 3, cfg, render_depth=True
         )
-        d = res.image[..., 0]
+        d = res.image[0]
         return jnp.repeat(
             (d / (jnp.max(d) + 1e-6))[..., None], 3, axis=-1
         )

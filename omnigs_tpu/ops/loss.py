@@ -2,8 +2,9 @@
 
 `/root/reference/include/loss_utils.h`: L1 (:31-34), two PSNR variants
 (:39-52), SSIM via an 11×11 σ=1.5 Gaussian window depthwise conv (:54-129).
-Images here are (H, W, C) float32 in [0, 1] (the reference uses CHW; the
-formulas are layout-independent).
+Images here are (C, H, W) float32 in [0, 1] — channels-first like the
+reference; on TPU a channels-minor image lane-pads 3 → 128 and every op on
+it moves 42× the bytes.
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def psnr_gaussian_splatting(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray
     The reference views a CHW tensor as (C, -1): per-channel MSE, then the
     mean of the per-channel 20·log10(1/√mse).
     """
-    mse = jnp.mean((img1 - img2) ** 2, axis=(0, 1))  # per channel (HWC)
+    mse = jnp.mean((img1 - img2) ** 2, axis=(-2, -1))  # per channel (CHW)
     return jnp.mean(20.0 * jnp.log10(1.0 / jnp.sqrt(mse)))
 
 
@@ -44,8 +45,8 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
 
 
 def _depthwise_conv(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """(H, W, C) ⊛ (k, k) depthwise with same-padding (groups=C conv2d)."""
-    c = img.shape[-1]
+    """(C, H, W) ⊛ (k, k) depthwise with same-padding (groups=C conv2d)."""
+    c = img.shape[0]
     k = win.shape[0]
     kernel = jnp.broadcast_to(win[:, :, None, None], (k, k, 1, c))
     return jax.lax.conv_general_dilated(
@@ -53,7 +54,7 @@ def _depthwise_conv(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
         kernel,
         window_strides=(1, 1),
         padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
         feature_group_count=c,
         precision=jax.lax.Precision.HIGHEST,
     )[0]

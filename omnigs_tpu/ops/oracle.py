@@ -110,7 +110,8 @@ def render_oracle(
       features: optional (P, C) override of the composited per-Gaussian
         features (e.g. depths for depth rendering, `forward.cu:472-590`).
 
-    Returns (image (H, W, 3), final_T (H, W), n_contrib (H, W)).
+    Returns (image (3, H, W) — channels-first like the binned
+    rasterizers, final_T (H, W), n_contrib (H, W)).
     """
     W, H = camera.width, camera.height
     order = jnp.argsort(prep.depths, stable=True)
@@ -160,7 +161,7 @@ def render_oracle(
     n_chunks = (H + row_chunk - 1) // row_chunk
     y0s = jnp.arange(n_chunks, dtype=jnp.float32) * row_chunk
     color, final_T, n_contrib = jax.lax.map(render_rows, y0s)
-    color = color.reshape(-1, W, 3)[:H]
+    color = color.reshape(-1, W, 3)[:H].transpose(2, 0, 1)
     final_T = final_T.reshape(-1, W)[:H]
     n_contrib = n_contrib.reshape(-1, W)[:H]
     return color, final_T, n_contrib

@@ -110,10 +110,12 @@ def _fwd_kernel(
     y0_ref,
     # inputs
     inst_ref,  # (NROWS, R_pad) in HBM
-    # outputs (per-program blocks of TPB tiles)
-    color_ref,  # (TPB, PX, 3)
-    finalT_ref,  # (TPB, PX, 1)
-    ncontrib_ref,  # (TPB, PX, 1)
+    # outputs (per-program blocks of TPB tiles; channel-planes packed into
+    # lanes — a (TPB, PX, 3) block would lane-pad 3 → 128, moving 42× the
+    # bytes per DMA)
+    color_ref,  # (1, TPB, 3·PX)
+    finalT_ref,  # (1, TPB, PX)
+    ncontrib_ref,  # (1, TPB, PX)
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
     sems,  # DMA(2)
@@ -163,9 +165,12 @@ def _fwd_kernel(
             contrib = N_incl >= T_STOP
             w = a * N_excl * contrib
             rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
+            # accumulate channels-major (3, PX): the lane-packed output row
+            # is then a cheap (3, PX) → (768,) reshape instead of a (PX, 3)
+            # transpose relayout per tile
             color = color + jax.lax.dot_general(
-                w,
                 rgbT,
+                w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -184,7 +189,7 @@ def _fwd_kernel(
             jnp.int32(0),
             jnp.ones((PX, 1), jnp.float32),
             jnp.ones((PX, 1), jnp.float32),
-            jnp.zeros((PX, 3), jnp.float32),
+            jnp.zeros((3, PX), jnp.float32),
             jnp.zeros((PX, 1), jnp.int32),
         )
         c_final, N, Tstop, color, ncontrib = jax.lax.while_loop(
@@ -197,9 +202,9 @@ def _fwd_kernel(
         def _():
             get_dma(jax.lax.rem(c_final, 2), c_final).wait()
 
-        color_ref[i] = color
-        finalT_ref[i] = Tstop
-        ncontrib_ref[i] = ncontrib
+        color_ref[0, i] = color.reshape(3 * PX)
+        finalT_ref[0, i] = Tstop[:, 0]
+        ncontrib_ref[0, i] = ncontrib[:, 0]
         return 0
 
     jax.lax.fori_loop(0, TPB, tile_body, 0)
@@ -213,8 +218,8 @@ def _bwd_kernel(
     y0_ref,
     # inputs
     inst_ref,  # (NROWS, R_pad) HBM
-    color_full_ref,  # (TPB, PX, 3) — forward output incl. background
-    dcolor_ref,  # (TPB, PX, 3)
+    color_full_ref,  # (1, TPB, 3·PX) — forward output incl. background
+    dcolor_ref,  # (1, TPB, 3·PX)
     zeros_ref,  # (NROWS, R_pad) HBM — aliased to dinst_ref, unused
     # output
     dinst_ref,  # (NROWS, R_pad) HBM (zero-initialized via alias)
@@ -268,8 +273,10 @@ def _bwd_tile(
     count = counts_ref[t]
     px, py = _pixel_coords(x0_ref[t], y0_ref[t])
     n_chunks = pl.cdiv(count, CHUNK)
-    color_full = color_full_ref[i]  # (PX, 3)
-    dL = dcolor_ref[i]  # (PX, 3)
+    # unpack channel-plane rows once per tile (lane-packed to keep the
+    # HBM arrays and DMAs unpadded)
+    color_full = color_full_ref[0, i].reshape(3, PX).T  # (PX, 3)
+    dL = dcolor_ref[0, i].reshape(3, PX).T  # (PX, 3)
     dL_dot_Cfull = jnp.sum(dL * color_full, axis=1, keepdims=True)  # (PX,1)
 
     def get_dma(slot, c):
@@ -435,9 +442,9 @@ def composite_pallas_fwd(
         grid=(n_prog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[
-            pl.BlockSpec((TPB, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, PX, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, PX, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TPB, 3 * PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TPB, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TPB, PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
@@ -448,16 +455,16 @@ def composite_pallas_fwd(
         _fwd_kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((t_pad, PX, 3), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, PX, 1), jnp.float32),
-            jax.ShapeDtypeStruct((t_pad, PX, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_prog, TPB, 3 * PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, TPB, PX), jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, TPB, PX), jnp.int32),
         ],
         interpret=interpret,
     )(starts, counts, x0, y0, inst_T)
     return (
-        color[:num_tiles],
-        finalT[:num_tiles, :, 0],
-        ncontrib[:num_tiles, :, 0],
+        color.reshape(t_pad, 3 * PX)[:num_tiles].reshape(num_tiles, 3, PX),
+        finalT.reshape(t_pad, PX)[:num_tiles],
+        ncontrib.reshape(t_pad, PX)[:num_tiles],
     )
 
 
@@ -467,8 +474,8 @@ def composite_pallas_bwd(
     counts: jnp.ndarray,
     x0: jnp.ndarray,
     y0: jnp.ndarray,
-    color_full: jnp.ndarray,  # (T, PX, 3)
-    dcolor: jnp.ndarray,  # (T, PX, 3)
+    color_full: jnp.ndarray,  # (T, 3, PX)
+    dcolor: jnp.ndarray,  # (T, 3, PX)
     num_tiles: int,
     interpret: bool = False,
 ):
@@ -478,15 +485,20 @@ def composite_pallas_bwd(
     starts, counts, x0, y0 = (
         jnp.pad(a, (0, t_pad - num_tiles)) for a in (starts, counts, x0, y0)
     )
-    color_full = jnp.pad(color_full, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
-    dcolor = jnp.pad(dcolor, ((0, t_pad - num_tiles), (0, 0), (0, 0)))
+    color_full = jnp.pad(
+        color_full.reshape(num_tiles, 3 * PX),
+        ((0, t_pad - num_tiles), (0, 0)),
+    ).reshape(n_prog, TPB, 3 * PX)
+    dcolor = jnp.pad(
+        dcolor.reshape(num_tiles, 3 * PX), ((0, t_pad - num_tiles), (0, 0))
+    ).reshape(n_prog, TPB, 3 * PX)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_prog,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((TPB, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TPB, PX, 3), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TPB, 3 * PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TPB, 3 * PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
@@ -565,7 +577,7 @@ def composite_instances(
 ):
     """Pallas-backed compositing of depth-sorted instances.
 
-    Returns (color (T, PX, 3) incl. background, final_T (T, PX),
+    Returns (color (T, 3, PX) incl. background, final_T (T, PX),
     n_contrib (T, PX)). Differentiable in the first four args.
 
     ``sorted_e``/``seg_lo``/``seg_hi`` (from `bin_instances_aligned`) enable
@@ -576,7 +588,7 @@ def composite_instances(
     color, finalT, ncontrib = composite_pallas_fwd(
         inst_T, starts, counts, x0, y0, num_tiles, interpret
     )
-    color = color + finalT[..., None] * bg[None, None, :]
+    color = color + finalT[:, None, :] * bg[None, :, None]
     return color, finalT, ncontrib
 
 
@@ -588,7 +600,7 @@ def _ci_fwd(
     color, finalT, ncontrib = composite_pallas_fwd(
         inst_T, starts, counts, x0, y0, num_tiles, interpret
     )
-    color_full = color + finalT[..., None] * bg[None, None, :]
+    color_full = color + finalT[:, None, :] * bg[None, :, None]
     res = (
         inst_T,
         sorted_g,

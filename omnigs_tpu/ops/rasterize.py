@@ -74,7 +74,7 @@ class RasterConfig:
 
 
 class RenderResult(NamedTuple):
-    image: jnp.ndarray  # (H, W, 3)
+    image: jnp.ndarray  # (3, H, W) — channels-first (reference torch CHW)
     radii: jnp.ndarray  # (P,) float; 0 ⇒ culled (visibility filter)
     final_T: jnp.ndarray  # (H, W) transmittance (non-diff)
     n_contrib: jnp.ndarray  # (H, W) int32 (non-diff)
@@ -299,10 +299,20 @@ _composite_tiles.defvjp(_composite_fwd, _composite_bwd)
 
 
 def _tiles_to_image(tiles: jnp.ndarray, grid_x: int, grid_y: int, W: int, H: int):
-    """(num_tiles, TILE², C?) → (H, W, C?) crop."""
-    extra = tiles.shape[2:]
-    img = tiles.reshape(grid_y, grid_x, TILE, TILE, *extra)
-    img = jnp.moveaxis(img, 2, 1).reshape(grid_y * TILE, grid_x * TILE, *extra)
+    """(num_tiles, TILE²) → (H, W) or (num_tiles, C, TILE²) → (C, H, W) crop.
+
+    Channels lead (CHW, the reference's torch convention) so the pixel axes
+    stay minor — a channels-minor image lane-pads 3 → 128 on TPU and every
+    op on it moves 42× the bytes."""
+    if tiles.ndim == 3:
+        c = tiles.shape[1]
+        img = tiles.reshape(grid_y, grid_x, c, TILE, TILE)
+        img = img.transpose(2, 0, 3, 1, 4).reshape(
+            c, grid_y * TILE, grid_x * TILE
+        )
+        return img[:, :H, :W]
+    img = tiles.reshape(grid_y, grid_x, TILE, TILE)
+    img = img.transpose(0, 2, 1, 3).reshape(grid_y * TILE, grid_x * TILE)
     return img[:H, :W]
 
 
@@ -441,6 +451,9 @@ def rasterize(
         )
         overflow = binned.overflow
         truncated = binned.truncated
+        # the XLA compositor keeps its channels-minor scan layout (CPU/test
+        # backend); convert to the channels-first convention here
+        color_t = jnp.swapaxes(color_t, 1, 2)
     image = _tiles_to_image(color_t, gx, gy, W, H)
     final_T = jax.lax.stop_gradient(_tiles_to_image(T_t, gx, gy, W, H))
     n_contrib = _tiles_to_image(n_t, gx, gy, W, H)

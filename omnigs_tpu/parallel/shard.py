@@ -111,8 +111,11 @@ def _render_image_sharded(
         pix,
         cfg.chunk,
     )
-    # assemble the full image (SSIM needs cross-tile context)
-    all_tiles = jax.lax.all_gather(color_t, GAUSS_AXIS, tiled=True)
+    # assemble the full image (SSIM needs cross-tile context);
+    # channels-first per the framework convention
+    all_tiles = jax.lax.all_gather(
+        jnp.swapaxes(color_t, 1, 2), GAUSS_AXIS, tiled=True
+    )
     image = _tiles_to_image(
         all_tiles[:num_tiles], gx, gy, camera.width, camera.height
     )
@@ -206,10 +209,10 @@ def make_sharded_train_step(
                     m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
                     means2d_ndc=ndc,
                 )
-                pred, gtc = image, gt
+                pred, gtc = image, gt  # (3, H, W)
                 if skip_bottom_px > 0:
-                    pred = pred[:-skip_bottom_px]
-                    gtc = gtc[:-skip_bottom_px]
+                    pred = pred[:, :-skip_bottom_px]
+                    gtc = gtc[:, :-skip_bottom_px]
                 l1 = loss_ops.l1_loss(pred, gtc)
                 total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
                     1.0 - loss_ops.ssim(pred, gtc)

@@ -26,9 +26,13 @@ from omnigs_tpu.train.renderer import render_model
 
 
 def save_image(path: Path, img: np.ndarray):
+    """Save a (3, H, W) channels-first float image as PNG."""
     from PIL import Image
 
-    arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+    arr = np.asarray(img)
+    if arr.ndim == 3 and arr.shape[0] == 3:
+        arr = arr.transpose(1, 2, 0)
+    arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
     Image.fromarray(arr).save(path)
 
 
@@ -50,13 +54,17 @@ def render_and_record_keyframe(
     res.image.block_until_ready()
     render_time_ms = (time.monotonic() - t0) * 1000.0
 
-    image = res.image
-    gt = jnp.asarray(kf.image) if kf.image is not None else None
+    image = res.image  # (3, H, W)
+    gt = (
+        jnp.asarray(kf.image).transpose(2, 0, 1)
+        if kf.image is not None
+        else None
+    )
     metrics: Dict[str, float] = {"render_time_ms": render_time_ms}
     if gt is not None:
         if skip_bottom_ratio > 0.0:
             skip = int(round(kf.camera.height * skip_bottom_ratio))
-            image_c, gt_c = image[:-skip], gt[:-skip]
+            image_c, gt_c = image[:, :-skip], gt[:, :-skip]
         else:
             image_c, gt_c = image, gt
         metrics["ssim"] = float(loss_ops.ssim(image_c, gt_c))

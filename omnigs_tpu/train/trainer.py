@@ -94,11 +94,11 @@ def train_step(
             raster_cfg,
             means2d_ndc=ndc,
         )
-        pred = res.image
+        pred = res.image  # (3, H, W)
         gt = gt_image
         if skip_bottom_px > 0:
-            pred = pred[:-skip_bottom_px]
-            gt = gt[:-skip_bottom_px]
+            pred = pred[:, :-skip_bottom_px]
+            gt = gt[:, :-skip_bottom_px]
         l1 = loss_ops.l1_loss(pred, gt)
         total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
             1.0 - loss_ops.ssim(pred, gt)
@@ -226,7 +226,9 @@ class Trainer:
                     (level_camera.width, level_camera.height),
                     interpolation=cv2.INTER_AREA,
                 )
-            self._gt_cache[key] = jnp.asarray(img)
+            # loaders produce HWC; the framework's image convention is
+            # channels-first (TPU lane-padding: see ops/loss.py)
+            self._gt_cache[key] = jnp.asarray(img).transpose(2, 0, 1)
         return self._gt_cache[key]
 
     # -- the loop --

@@ -128,7 +128,7 @@ class ParallelTrainer:
 
     def _gt(self, kf):
         if kf.fid not in self._gt_cache:
-            self._gt_cache[kf.fid] = np.asarray(kf.image)
+            self._gt_cache[kf.fid] = np.asarray(kf.image).transpose(2, 0, 1)
         return self._gt_cache[kf.fid]
 
     def train_iteration(self):

@@ -135,7 +135,7 @@ def main():
         print(f"fwd kernel            {timeit(fwd_j, inst_T, inst.starts, inst.counts):8.2f} ms")
 
     bg = jnp.zeros(3)
-    color_full = color + finalT[..., None] * bg[None, None, :]
+    color_full = color + finalT[:, None, :] * bg[None, :, None]
     dcolor = jnp.ones_like(color_full) / (W * H)
     bwd_j = jax.jit(
         lambda iT, s, c, cf, dc: pr.composite_pallas_bwd(

@@ -137,8 +137,8 @@ def test_seam_gaussian_clipped_not_wrapped():
     img = np.asarray(res.image)
     # the blob lands on ONE side of the seam only (the projected lon sign);
     # with the non-cyclic rect the other edge column stays background
-    left = img[:, :2].sum()
-    right = img[:, -2:].sum()
+    left = img[..., :2].sum()
+    right = img[..., -2:].sum()
     assert (left == 0) != (right == 0), (left, right)
 
 

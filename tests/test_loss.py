@@ -34,12 +34,17 @@ def test_ssim_matches_reference():
     rng = np.random.default_rng(0)
     a = rng.random((32, 48, 3), dtype=np.float32)
     b = np.clip(a + rng.normal(0, 0.1, a.shape).astype(np.float32), 0, 1)
-    got = float(L.ssim(jnp.asarray(a), jnp.asarray(b)))
+    got = float(
+        L.ssim(
+            jnp.asarray(a).transpose(2, 0, 1), jnp.asarray(b).transpose(2, 0, 1)
+        )
+    )
     want = _torch_ssim(
         torch.from_numpy(a).permute(2, 0, 1), torch.from_numpy(b).permute(2, 0, 1)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
-    assert 0.999 < float(L.ssim(jnp.asarray(a), jnp.asarray(a))) <= 1.0 + 1e-6
+    ac = jnp.asarray(a).transpose(2, 0, 1)
+    assert 0.999 < float(L.ssim(ac, ac)) <= 1.0 + 1e-6
 
 
 def test_psnr_variants():
@@ -55,15 +60,20 @@ def test_psnr_variants():
     per_ch = np.mean((a - b) ** 2, axis=(0, 1))
     want = np.mean(20 * np.log10(1 / np.sqrt(per_ch)))
     np.testing.assert_allclose(
-        float(L.psnr_gaussian_splatting(jnp.asarray(a), jnp.asarray(b))),
+        float(
+            L.psnr_gaussian_splatting(
+                jnp.asarray(a).transpose(2, 0, 1),
+                jnp.asarray(b).transpose(2, 0, 1),
+            )
+        ),
         want,
         rtol=3e-5,
     )
 
 
 def test_training_loss_weights():
-    a = jnp.zeros((16, 16, 3))
-    b = jnp.ones((16, 16, 3)) * 0.5
+    a = jnp.zeros((3, 16, 16))
+    b = jnp.ones((3, 16, 16)) * 0.5
     l = float(L.training_loss(a, b, lambda_dssim=0.2))
     l1 = float(L.l1_loss(a, b))
     s = float(L.ssim(a, b))

@@ -29,7 +29,7 @@ def test_simple_cloud_blobs():
     params, camera, vm, campos = simple_cloud()
     prep = _prep(params, camera, vm, campos)
     img, final_T, n_contrib = render_oracle(prep, camera, jnp.zeros(3))
-    assert img.shape == (camera.height, camera.width, 3)
+    assert img.shape == (3, camera.height, camera.width)
 
     # each Gaussian produces a blob of its own color at its projected pixel
     t = world_to_cam(params["means3d"], vm)
@@ -37,7 +37,7 @@ def test_simple_cloud_blobs():
     for i, ch in enumerate([0, 1, 2]):
         x = int(round(float(pix[i, 0])))
         y = int(round(float(pix[i, 1])))
-        val = img[y, x]
+        val = img[:, y, x]
         assert float(val[ch]) > 0.5, (i, np.asarray(val))
         other = [c for c in range(3) if c != ch]
         assert float(val[other[0]]) < 0.3
@@ -46,7 +46,7 @@ def test_simple_cloud_blobs():
         assert int(n_contrib[y, x]) >= 1
 
     # background pixels stay background
-    assert float(img[0, 0].sum()) < 1e-3
+    assert float(img[:, 0, 0].sum()) < 1e-3
     assert float(final_T[0, 0]) == 1.0
 
 
@@ -55,7 +55,9 @@ def test_background_composited():
     prep = _prep(params, camera, vm, campos)
     bg = jnp.array([0.25, 0.5, 0.75])
     img, final_T, _ = render_oracle(prep, camera, bg)
-    np.testing.assert_allclose(np.asarray(img[0, 0]), np.asarray(bg), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(img[:, 0, 0]), np.asarray(bg), atol=1e-6
+    )
 
 
 def test_oracle_gradients_finite_diff():
@@ -65,7 +67,7 @@ def test_oracle_gradients_finite_diff():
     vm = jnp.eye(4)
     campos = jnp.zeros(3)
     params = random_cloud(jax.random.PRNGKey(0), 24)
-    target = jnp.ones((camera.height, camera.width, 3)) * 0.3
+    target = jnp.ones((3, camera.height, camera.width)) * 0.3
 
     def loss(means, scales, quats, opac, shs):
         prep = preprocess(

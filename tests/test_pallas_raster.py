@@ -64,7 +64,7 @@ def test_pallas_bwd_matches_xla():
     bg = jnp.array([0.3, 0.3, 0.3])
     vm = jnp.eye(4)
     campos = jnp.zeros(3)
-    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(32, 64, 3)
+    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(3, 32, 64)
 
     def loss(cfg):
         def f(means, scales, quats, opac, shs):
@@ -136,7 +136,7 @@ def test_pallas_tile_culling_grads_match():
     bg = jnp.zeros(3)
     vm = jnp.eye(4)
     campos = jnp.zeros(3)
-    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(32, 64, 3)
+    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(3, 32, 64)
     cull_cfg = dataclasses.replace(PAL_CFG, tile_culling=True)
 
     def loss(cfg):

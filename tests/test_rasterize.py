@@ -78,7 +78,7 @@ def test_gradients_match_oracle():
     campos = jnp.zeros(3)
     params = random_cloud(jax.random.PRNGKey(3), 24)
     bg = jnp.array([0.3, 0.3, 0.3])
-    target = jnp.linspace(0, 1, 64 * 32 * 3).reshape(32, 64, 3)
+    target = jnp.linspace(0, 1, 64 * 32 * 3).reshape(3, 32, 64)
 
     def loss_oracle(means, scales, quats, opac, shs):
         p = dict(means3d=means, scales=scales, quats=quats, opacities=opac, shs=shs)

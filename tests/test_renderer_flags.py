@@ -49,5 +49,5 @@ def test_depth_render_flag():
         render_depth=True,
     )
     # depth channels identical, positive where gaussians hit
-    np.testing.assert_allclose(res.image[..., 0], res.image[..., 1])
+    np.testing.assert_allclose(res.image[0], res.image[1])
     assert float(res.image.max()) > 0

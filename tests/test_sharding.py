@@ -71,7 +71,7 @@ def test_sharded_train_step_runs_and_reduces_loss():
     # two different views (data axis)
     vms = jnp.stack([jnp.eye(4), jnp.eye(4).at[0, 3].set(0.1)])
     cps = jnp.stack([jnp.zeros(3), jnp.array([-0.1, 0.0, 0.0])])
-    gts = jnp.full((2, CAMERA.height, CAMERA.width, 3), 0.5)
+    gts = jnp.full((2, 3, CAMERA.height, CAMERA.width), 0.5)
     dspec = NamedSharding(mesh, P(DATA_AXIS))
     vms = jax.device_put(vms, dspec)
     cps = jax.device_put(cps, dspec)
@@ -108,8 +108,8 @@ def test_sharded_grads_match_single_chip():
     cps = jnp.stack([jnp.zeros(3), jnp.array([0.0, -0.05, 0.0])])
     gts = jnp.stack(
         [
-            jnp.full((CAMERA.height, CAMERA.width, 3), 0.4),
-            jnp.full((CAMERA.height, CAMERA.width, 3), 0.6),
+            jnp.full((3, CAMERA.height, CAMERA.width), 0.4),
+            jnp.full((3, CAMERA.height, CAMERA.width), 0.6),
         ]
     )
 

@@ -68,7 +68,7 @@ def _make_scene(camera, n_views=3, seed=0):
                 camera=camera,
                 R_cw=R,
                 t_cw=t,
-                image=np.asarray(res.image),
+                image=np.asarray(res.image).transpose(1, 2, 0),
             )
         )
     # noisy init point cloud from the gt means

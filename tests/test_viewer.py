@@ -34,7 +34,7 @@ def test_viewer_serves_page_and_frames():
             cfg,
             render_depth=(mode == "depth"),
         )
-        return np.asarray(res.image)
+        return np.asarray(res.image).transpose(1, 2, 0)
 
     state = ViewerState(render_fn, camera.width, camera.height)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
