@@ -55,21 +55,28 @@ def _tri_incl() -> jnp.ndarray:
     """(CHUNK, CHUNK) M with M[i, j] = 1 if i <= j: x @ M = inclusive cumsum."""
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (r <= c).astype(jnp.float32)
+    return (r <= c).astype(jnp.bfloat16)
 
 
 def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive lane cumsum as a triangular-matrix multiply. Measured faster
     than a Hillis–Steele shift-add ladder: the MXU runs concurrently with the
     VPU α math, so the matmul is effectively free while the rolls serialize
-    onto the already-saturated VPU. HIGHEST precision avoids bf16 truncation
-    of the log-transmittance sums."""
-    return jnp.dot(
-        x,
-        _tri_incl(),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    onto the already-saturated VPU.
+
+    Precision: the triangular matrix is 0/1 — *exact* in bf16 — so splitting
+    the f32 operand into three bf16 components and summing three single-pass
+    bf16 matmuls in an f32 accumulator reproduces full-f32 products at half
+    the MXU passes of Precision.HIGHEST (bf16x6); measured ~4 ms/step cheaper
+    at the bench workload."""
+    tri = _tri_incl()
+    x0 = x.astype(jnp.bfloat16)
+    r1 = x - x0.astype(jnp.float32)
+    x1 = r1.astype(jnp.bfloat16)
+    x2 = (r1 - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jnp.dot(x0, tri, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(x1, tri, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(x2, tri, preferred_element_type=jnp.float32)
 
 
 def _pixel_coords(x0, y0):
