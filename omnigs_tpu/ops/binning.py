@@ -88,6 +88,7 @@ def bin_instances(
     max_instances: int,
     tile_lo=0,
     n_tiles: int | None = None,
+    tile_cull: bool = False,
 ) -> BinnedInstances:
     """Duplicate-with-keys + sort + tile ranges, instance-major.
 
@@ -95,6 +96,17 @@ def bin_instances(
     static (defaults to the whole grid); ``tile_lo`` may be a traced device
     offset — this is how the tile axis shards across a mesh (each device
     bins only its owned tile slice).
+
+    This is the **compact** layout: per-tile segments are tightly packed
+    (``starts[t+1] == starts[t] + counts[t]``), with no alignment padding —
+    the Pallas kernels handle unaligned segment starts by DMA-ing the
+    containing 128-aligned chunk and masking the head lanes. Compared to the
+    ghost-aligned layout (`bin_instances_aligned`) this keeps ~tiles·chunk
+    rows out of the sort, the slab gather, and the gradient scatter.
+
+    ``tile_cull=True`` drops every (gaussian, tile) instance whose maximum α
+    over the tile's pixel box is provably < 1/255 (see
+    `bin_instances_aligned` for the exactness argument).
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     tiles = prep.tiles_touched.astype(jnp.int32)
@@ -113,21 +125,22 @@ def bin_instances(
     # to the TPU scalar path and costs ~45 ms at 2M instances; as a table
     # column it is free.
     assert max_instances < 1 << 24, "offsets ride an f32 column exactly"
-    table = jnp.concatenate(
-        [
-            prep.rect.astype(jnp.float32),
-            prep.depths[:, None],
-            offsets.astype(jnp.float32)[:, None],
-        ],
-        axis=-1,
-    )  # (P, 6)
+    parts = [
+        prep.rect.astype(jnp.float32),
+        prep.depths[:, None],
+        offsets.astype(jnp.float32)[:, None],
+    ]
+    if tile_cull:
+        parts += [prep.means2d, prep.conic, prep.opacity[:, None]]
+    table = jnp.concatenate(parts, axis=-1)
+    ncol = table.shape[1]
     # column-major flatten forces one physical transpose so the per-column
     # reads below are contiguous (column slices of a row-major (R, C) table
     # each re-scan the whole lane-padded table)
     flat = jax.lax.optimization_barrier(table[g].T.reshape(-1))
     cols = [
         jax.lax.dynamic_slice_in_dim(flat, c * max_instances, max_instances)
-        for c in range(table.shape[1])
+        for c in range(ncol)
     ]
     x0 = cols[0].astype(jnp.int32)
     y0 = cols[1].astype(jnp.int32)
@@ -136,9 +149,26 @@ def bin_instances(
     tx = x0 + local % width
     ty = y0 + local // width
     tile_id = ty * grid_x + tx - tile_lo  # window-local tile index
-    in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
-    tile_id = jnp.where(in_window, tile_id, num_tiles)
-    depth = jnp.where(in_window, cols[4], jnp.inf)
+    keep = alive & (tile_id >= 0) & (tile_id < num_tiles)
+    if tile_cull:
+        from omnigs_tpu.ops.preprocess import TILE
+
+        mx, my = cols[6], cols[7]
+        cA, cB, cC = cols[8], cols[9], cols[10]
+        op = cols[11]
+        px0 = (tx * TILE).astype(jnp.float32)
+        py0 = (ty * TILE).astype(jnp.float32)
+        qmin = _min_quad_over_box(
+            cA, cB, cC,
+            px0 - mx, px0 + (TILE - 1) - mx,
+            py0 - my, py0 + (TILE - 1) - my,
+        )
+        keep = keep & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
+    tile_id = jnp.where(keep, tile_id, num_tiles)
+    depth = jnp.where(keep, cols[4], jnp.inf)
+    # materialize once so XLA cannot clone the expansion chain into several
+    # consumer fusions that round differently (see bin_instances_aligned)
+    tile_id, depth, g = jax.lax.optimization_barrier((tile_id, depth, g))
 
     sorted_tile, _, sorted_g = jax.lax.sort(
         (tile_id, depth, g), num_keys=2, is_stable=True
@@ -155,7 +185,7 @@ def bin_instances(
         sorted_g=sorted_g,
         starts=starts,
         counts=counts,
-        num_instances=jnp.minimum(total, max_instances),
+        num_instances=jnp.sum(counts),
         truncated=jnp.maximum(total - max_instances, 0),
     )
 

@@ -101,7 +101,9 @@ def _chunk_alpha(data, px, py, count, kbase):
     G = jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, op * G)
     k = kbase + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    live = (k < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    # k may start negative (compact layout: the first DMA'd chunk of a tile
+    # contains the previous tile's tail in its head lanes — masked here)
+    live = (k >= 0) & (k < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
     a = jnp.where(live, alpha, 0.0)
     return a, live, G, dx, dy, A, B, C, op, k
 
@@ -134,10 +136,15 @@ def _fwd_kernel(
         start = starts_ref[t]
         count = counts_ref[t]
         px, py = _pixel_coords(x0_ref[t], y0_ref[t])
-        n_chunks = pl.cdiv(count, CHUNK)
+        # compact layout: segments start unaligned; DMA the containing
+        # aligned chunk and mask the head lanes (head == 0 for the aligned
+        # layout, where this reduces to the old behavior)
+        base = (start // CHUNK) * CHUNK
+        head = start - base
+        n_chunks = pl.cdiv(head + count, CHUNK)
 
         def get_dma(slot, c):
-            off = pl.multiple_of(start + c * CHUNK, CHUNK)
+            off = pl.multiple_of(base + c * CHUNK, CHUNK)
             return pltpu.make_async_copy(
                 inst_ref.at[:, pl.ds(off, CHUNK)],
                 buf.at[slot],
@@ -163,7 +170,7 @@ def _fwd_kernel(
             get_dma(slot, c).wait()
             data = buf[slot]
             a, live, _, _, _, _, _, _, _, k = _chunk_alpha(
-                data, px, py, count, c * CHUNK
+                data, px, py, count, c * CHUNK - head
             )
             l = jnp.log1p(-a)
             cs = _lane_cumsum(l)
@@ -217,6 +224,73 @@ def _fwd_kernel(
     jax.lax.fori_loop(0, TPB, tile_body, 0)
 
 
+def _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, gdata, gchunk):
+    """Write one assembled (NROWS, CHUNK) gradient chunk to HBM at global
+    chunk index ``gchunk``, double-buffered over two gbuf slots. ``st`` is
+    the SMEM write-state: [pend_idx, wcount, woff0, woff1]."""
+    wcount = st[1]
+    s = jax.lax.rem(wcount, 2)
+
+    def dma(slot, off):
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            dinst_ref.at[
+                :, pl.ds(pl.multiple_of(off * CHUNK, CHUNK), CHUNK)
+            ],
+            out_sem.at[slot],
+        )
+
+    # before reusing a slot, wait for the DMA issued from it two emits ago
+    @pl.when((wcount >= 2) & (s == 0))
+    def _():
+        dma(0, st[2]).wait()
+
+    @pl.when((wcount >= 2) & (s == 1))
+    def _():
+        dma(1, st[3]).wait()
+
+    @pl.when(s == 0)
+    def _():
+        gbuf[0] = gdata
+        dma(0, gchunk).start()
+        st[2] = gchunk
+
+    @pl.when(s == 1)
+    def _():
+        gbuf[1] = gdata
+        dma(1, gchunk).start()
+        st[3] = gchunk
+
+    st[1] = wcount + 1
+
+
+def _drain_grad_writes(st, gbuf, out_sem, dinst_ref):
+    """Wait for all outstanding gradient write-backs and reset the emit
+    counter (run at the end of every program; slots then start fresh)."""
+    wcount = st[1]
+
+    def dma(slot, off):
+        return pltpu.make_async_copy(
+            gbuf.at[slot],
+            dinst_ref.at[
+                :, pl.ds(pl.multiple_of(off * CHUNK, CHUNK), CHUNK)
+            ],
+            out_sem.at[slot],
+        )
+
+    # slot 0 has an outstanding DMA iff ≥1 emit happened, slot 1 iff ≥2
+    # (each slot holds at most one in-flight DMA — see _emit_grad_chunk)
+    @pl.when(wcount >= 1)
+    def _():
+        dma(0, st[2]).wait()
+
+    @pl.when(wcount >= 2)
+    def _():
+        dma(1, st[3]).wait()
+
+    st[1] = 0
+
+
 def _bwd_kernel(
     # scalar prefetch
     starts_ref,
@@ -235,8 +309,22 @@ def _bwd_kernel(
     gbuf,  # (2, NROWS, CHUNK) VMEM (double-buffered write-back)
     sems,  # DMA(2)
     out_sem,  # DMA(2)
+    pend,  # (NROWS, CHUNK) VMEM — pending shared boundary chunk
+    st,  # SMEM (4,) int32: [pend_idx, wcount, woff0, woff1]
 ):
+    """Gradient chunks are written at the instances' *slab* positions. In the
+    compact layout consecutive tiles can share a 128-lane boundary chunk;
+    each tile's contribution has zeros in the other's lanes, so the chunk is
+    accumulated in ``pend`` (scratch persists across tiles AND grid steps —
+    sequential TPU grid) and written exactly once, when a tile that doesn't
+    share it comes up (or at the end of the grid)."""
     pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _():
+        st[0] = -1
+        st[1] = 0
+        pend[...] = jnp.zeros((NROWS, CHUNK), jnp.float32)
 
     def tile_loop(i, _):
         _bwd_tile(
@@ -254,10 +342,20 @@ def _bwd_kernel(
             gbuf,
             sems,
             out_sem,
+            pend,
+            st,
         )
         return 0
 
     jax.lax.fori_loop(0, TPB, tile_loop, 0)
+
+    # final flush of a still-pending boundary chunk
+    @pl.when((pid == pl.num_programs(0) - 1) & (st[0] >= 0))
+    def _():
+        _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, pend[...], st[0])
+        st[0] = -1
+
+    _drain_grad_writes(st, gbuf, out_sem, dinst_ref)
 
 
 def _bwd_tile(
@@ -275,11 +373,24 @@ def _bwd_tile(
     gbuf,
     sems,
     out_sem,
+    pend,
+    st,
 ):
     start = starts_ref[t]
     count = counts_ref[t]
     px, py = _pixel_coords(x0_ref[t], y0_ref[t])
-    n_chunks = pl.cdiv(count, CHUNK)
+    base = (start // CHUNK) * CHUNK
+    head = start - base
+    n_chunks = pl.cdiv(head + count, CHUNK)
+    bchunk = base // CHUNK
+
+    # flush a pending boundary chunk this tile does not share (tiles are
+    # processed in increasing slab order, so nothing later can merge it)
+    @pl.when((count > 0) & (st[0] >= 0) & (st[0] != bchunk))
+    def _():
+        _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, pend[...], st[0])
+        st[0] = -1
+
     # unpack channel-plane rows once per tile (lane-packed to keep the
     # HBM arrays and DMAs unpadded)
     color_full = color_full_ref[0, i].reshape(3, PX).T  # (PX, 3)
@@ -287,7 +398,7 @@ def _bwd_tile(
     dL_dot_Cfull = jnp.sum(dL * color_full, axis=1, keepdims=True)  # (PX,1)
 
     def get_dma(slot, c):
-        off = pl.multiple_of(start + c * CHUNK, CHUNK)
+        off = pl.multiple_of(base + c * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             inst_ref.at[:, pl.ds(off, CHUNK)],
             buf.at[slot],
@@ -313,7 +424,7 @@ def _bwd_tile(
         get_dma(slot, c).wait()
         data = buf[slot]
         a, live, G, dx, dy, A, B, C, op, _ = _chunk_alpha(
-            data, px, py, count, c * CHUNK
+            data, px, py, count, c * CHUNK - head
         )
         one_m = 1.0 - a
         l = jnp.log1p(-a)
@@ -358,27 +469,29 @@ def _bwd_tile(
             jnp.dot(dL[:, 2:3].T, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
         ]
         rows += [zero_row] * (NROWS - len(rows))
+        gdata = jnp.concatenate(rows, axis=0)
 
-        # double-buffered gradient write-back: before reusing this chunk's
-        # gbuf slot, wait for the DMA issued two chunks ago from the same
-        # slot (shape-identical copy, so the reconstructed descriptor's
-        # semaphore wait matches)
-        gslot = jax.lax.rem(c, 2)
+        # boundary-chunk carry: merge with a pending contribution from the
+        # previous tile (same global chunk), hold this tile's last chunk in
+        # `pend` for the next tile to merge, write interior chunks directly
+        gchunk = bchunk + c
+        is_pend = gchunk == st[0]
+        merged = jnp.where(is_pend, gdata + pend[...], gdata)
 
-        def out_dma(s, cc):
-            off_cc = pl.multiple_of(start + cc * CHUNK, CHUNK)
-            return pltpu.make_async_copy(
-                gbuf.at[s],
-                dinst_ref.at[:, pl.ds(off_cc, CHUNK)],
-                out_sem.at[s],
-            )
-
-        @pl.when(c >= 2)
+        @pl.when(is_pend)
         def _():
-            out_dma(gslot, c - 2).wait()
+            st[0] = -1
 
-        gbuf[gslot] = jnp.concatenate(rows, axis=0)
-        out_dma(gslot, c).start()
+        is_last = c == n_chunks - 1
+
+        @pl.when(is_last)
+        def _():
+            pend[...] = merged
+            st[0] = gchunk
+
+        @pl.when(jnp.logical_not(is_last))
+        def _():
+            _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, merged, gchunk)
 
         # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch
         chunk_color = jax.lax.dot_general(
@@ -405,24 +518,8 @@ def _bwd_tile(
     @pl.when(c_final < n_chunks)
     def _():
         get_dma(jax.lax.rem(c_final, 2), c_final).wait()
-
-    # drain the last (up to two) in-flight gradient write-backs
-    def out_drain(cc):
-        off_cc = pl.multiple_of(start + cc * CHUNK, CHUNK)
-        s = jax.lax.rem(cc, 2)
-        return pltpu.make_async_copy(
-            gbuf.at[s],
-            dinst_ref.at[:, pl.ds(off_cc, CHUNK)],
-            out_sem.at[s],
-        )
-
-    @pl.when(c_final >= 2)
-    def _():
-        out_drain(c_final - 2).wait()
-
-    @pl.when(c_final >= 1)
-    def _():
-        out_drain(c_final - 1).wait()
+    # (gradient write-backs stay in flight across tiles; _emit_grad_chunk
+    # waits before slot reuse and _drain_grad_writes settles each program)
 
 
 def _pad_instances(max_instances: int) -> int:
@@ -514,6 +611,8 @@ def composite_pallas_bwd(
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
+            pltpu.SMEM((4,), jnp.int32),
         ],
     )
     zeros = jnp.zeros_like(inst_T)

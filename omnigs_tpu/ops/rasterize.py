@@ -61,12 +61,18 @@ class RasterConfig:
     # exact per-(gaussian, tile) ellipse–box culling in binning (Pallas
     # backend only): image/final_T-identical, n_contrib ranks shift
     tile_culling: bool = False
-    # static bound on the *live* aligned slab (sum of chunk-padded per-tile
-    # counts). The slab build gather and the backward instance→Gaussian
-    # scatter-add scale linearly with this; the default (max_instances +
-    # num_tiles·chunk) never drops anything. Tiles whose segment would cross
-    # the cap are dropped deterministically and counted in `truncated`.
+    # static bound on the *live* slab (sum of per-tile counts — chunk-padded
+    # in the ghost_align layout, exact in the compact one). The slab build
+    # gather and the backward instance→Gaussian scatter-add scale linearly
+    # with this; the default (full sorted-array length) never drops
+    # anything. Tiles whose segment would cross the cap are dropped
+    # deterministically and counted in `truncated`.
     aligned_cap: int | None = None
+    # ghost-aligned slab layout (pad every tile's run to a chunk multiple
+    # with ghost instances inside the sort). Default False = compact layout:
+    # tight per-tile segments, kernels mask the unaligned head lanes —
+    # ~tiles·chunk fewer rows through the sort/gather/scatter stages.
+    ghost_align: bool = False
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -381,16 +387,23 @@ def rasterize(
         rgb = f
 
     if config.backend == "pallas":
-        from omnigs_tpu.ops.binning import bin_instances_aligned
+        from omnigs_tpu.ops.binning import bin_instances, bin_instances_aligned
         from omnigs_tpu.ops.pallas_raster import CHUNK as PCHUNK
         from omnigs_tpu.ops.pallas_raster import composite_instances
 
-        # one-pass binning straight into chunk-aligned slabs (TPU DMA
-        # lane-alignment requirement) via ghost padding instances
-        inst = bin_instances_aligned(
-            prep_sg, gx, gy, config.max_instances, PCHUNK,
-            tile_cull=config.tile_culling,
-        )
+        if config.ghost_align:
+            # one-pass binning straight into chunk-aligned slabs via ghost
+            # padding instances inside the sort
+            inst = bin_instances_aligned(
+                prep_sg, gx, gy, config.max_instances, PCHUNK,
+                tile_cull=config.tile_culling,
+            )
+        else:
+            # compact layout: tight segments, kernels mask unaligned heads
+            inst = bin_instances(
+                prep_sg, gx, gy, config.max_instances,
+                tile_cull=config.tile_culling,
+            )
         truncated = inst.truncated
         sorted_g, sorted_e = inst.sorted_g, inst.sorted_e
         starts, counts = inst.starts, inst.counts
@@ -399,16 +412,17 @@ def rasterize(
         # sorted_e's full shape — cap-trimming doesn't compose with it)
         if cap is not None and cap < sorted_g.shape[0] and sorted_e is None:
             # trim the slab to its live prefix: downstream gathers/scatters
-            # scale with slab length, and the padded segments occupy only
+            # scale with slab length, and the live segments occupy only
             # the front of the sorted array
-            padded = ((counts + PCHUNK - 1) // PCHUNK) * PCHUNK
-            fits = starts + padded <= cap
+            if config.ghost_align:
+                padded = ((counts + PCHUNK - 1) // PCHUNK) * PCHUNK
+                fits = starts + padded <= cap
+            else:
+                fits = starts + counts <= cap
             truncated = truncated + jnp.sum(jnp.where(fits, 0, counts))
             counts = jnp.where(fits, counts, 0)
-            starts = jnp.clip(starts, 0, cap - PCHUNK)
+            starts = jnp.clip(starts, 0, cap - 1)
             sorted_g = sorted_g[:cap]
-            if sorted_e is not None:
-                sorted_e = sorted_e[:cap]
         t_ids = np.arange(gx * gy)
         x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
         y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)

@@ -76,7 +76,46 @@ def main():
         f"pallas-vs-xla max image error: {xerr:.6f} "
         f"(mean |img| {xmean:.4f})  ({'OK' if xok else 'FAIL'})"
     )
-    sys.exit(0 if (ok and xok) else 1)
+
+    # Gradient parity at full bench scale: the compact layout's backward
+    # (cross-tile boundary-chunk carry, compiled Mosaic) vs the ghost-aligned
+    # layout (disjoint per-tile writes). Same composited sequence — grads
+    # must agree to accumulation-order noise.
+    import dataclasses
+
+    from omnigs_tpu.ops import loss as loss_ops
+
+    gt = jnp.zeros((3, 960, 1920))
+    cfg_c = RasterConfig(
+        max_instances=1 << 21, backend="pallas", tight_culling=True,
+        tile_culling=True, aligned_cap=5 << 18,
+    )
+    cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=7 << 18)
+
+    def grad_fn(cfg):
+        def loss(params):
+            m = model.with_params(params)
+            res = render_model(
+                m, cam, jnp.eye(4), jnp.zeros(3), jnp.zeros(3),
+                sh_degree=3, config=cfg,
+            )
+            return loss_ops.l1_loss(res.image, gt)
+
+        return jax.jit(jax.grad(loss))(model.params())
+
+    g_c, g_g = grad_fn(cfg_c), grad_fn(cfg_g)
+    gok = True
+    for k in g_c:
+        ref = g_g[k]
+        scale = float(jnp.abs(ref).max()) + 1e-20
+        gerr = float(jnp.abs(g_c[k] - ref).max()) / scale
+        this_ok = gerr < 2e-3
+        gok = gok and this_ok
+        print(
+            f"grad[{k}] compact-vs-ghost rel err: {gerr:.2e}  "
+            f"({'OK' if this_ok else 'FAIL'})"
+        )
+    sys.exit(0 if (ok and xok and gok) else 1)
 
 
 if __name__ == "__main__":

@@ -52,6 +52,8 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=960)
     ap.add_argument("--max-instances", type=int, default=1 << 21)
+    ap.add_argument("--layout", choices=("compact", "ghost"), default="compact")
+    ap.add_argument("--cap", type=int, default=5 << 18)
     args = ap.parse_args()
 
     import jax
@@ -59,7 +61,7 @@ def main():
     import numpy as np
 
     from omnigs_tpu.cameras import Camera, CameraType
-    from omnigs_tpu.ops.binning import bin_instances_aligned
+    from omnigs_tpu.ops.binning import bin_instances, bin_instances_aligned
     from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
     from omnigs_tpu.ops import pallas_raster as pr
     from __graft_entry__ import _example_model
@@ -98,11 +100,24 @@ def main():
     if want("prep"):
         print(f"preprocess            {timeit(prep_j, *margs):8.2f} ms")
 
-    bin_j = jax.jit(
-        lambda p: bin_instances_aligned(
-            p, gx, gy, R, pr.CHUNK, tile_cull=True
-        )
-    )
+    cap = args.cap
+
+    if args.layout == "ghost":
+        def bin_fn(p):
+            return bin_instances_aligned(
+                p, gx, gy, R, pr.CHUNK, tile_cull=True
+            )
+    else:
+        def bin_fn(p):
+            inst = bin_instances(p, gx, gy, R, tile_cull=True)
+            fits = inst.starts + inst.counts <= cap
+            return inst._replace(
+                counts=jnp.where(fits, inst.counts, 0),
+                starts=jnp.clip(inst.starts, 0, cap - 1),
+                sorted_g=inst.sorted_g[:cap],
+            )
+
+    bin_j = jax.jit(bin_fn)
     inst = bin_j(prep)
     jax.block_until_ready(inst)
     n_inst = int(inst.num_instances)
@@ -112,7 +127,7 @@ def main():
         f"avg/tile={n_comp / num_tiles:.0f} truncated={int(inst.truncated)}"
     )
     if want("bin"):
-        print(f"binning (aligned+cull){timeit(bin_j, prep):8.2f} ms")
+        print(f"binning ({args.layout}+cull){timeit(bin_j, prep):8.2f} ms")
 
     build_j = jax.jit(
         lambda p, sg: pr._build_inst(p.means2d, p.conic, p.rgb, p.opacity, sg)
@@ -161,25 +176,26 @@ def main():
         print(f"red: scatter-add (R,9){timeit(jax.jit(red_scatter9), dinst, inst.sorted_g):8.2f} ms")
         print(f"red: scatter-add(R,16){timeit(jax.jit(red_scatter16), dinst, inst.sorted_g):8.2f} ms")
 
-        bin_e_j = jax.jit(
-            lambda p: bin_instances_aligned(
-                p, gx, gy, R, pr.CHUNK, with_emission=True, tile_cull=True
+        if args.layout == "ghost":
+            bin_e_j = jax.jit(
+                lambda p: bin_instances_aligned(
+                    p, gx, gy, R, pr.CHUNK, with_emission=True, tile_cull=True
+                )
             )
-        )
-        inst_e = bin_e_j(prep)
-        jax.block_until_ready(inst_e)
-        print(f"binning w/ emission   {timeit(bin_e_j, prep):8.2f} ms")
+            inst_e = bin_e_j(prep)
+            jax.block_until_ready(inst_e)
+            print(f"binning w/ emission   {timeit(bin_e_j, prep):8.2f} ms")
 
-        def red_emit(di, se, lo, hi):
-            rows = di[:9, :r].T
-            r_emit = se.shape[0] - num_tiles * pr.CHUNK
-            emission = jnp.zeros((r_emit, 9)).at[se].set(rows, mode="drop")
-            cs = jnp.concatenate(
-                [jnp.zeros((1, 9)), jnp.cumsum(emission, axis=0)], axis=0
-            )
-            return cs[hi] - cs[lo]
+            def red_emit(di, se, lo, hi):
+                rows = di[:9, :r].T
+                r_emit = se.shape[0] - num_tiles * pr.CHUNK
+                emission = jnp.zeros((r_emit, 9)).at[se].set(rows, mode="drop")
+                cs = jnp.concatenate(
+                    [jnp.zeros((1, 9)), jnp.cumsum(emission, axis=0)], axis=0
+                )
+                return cs[hi] - cs[lo]
 
-        print(f"red: emission segdiff {timeit(jax.jit(red_emit), dinst, inst_e.sorted_e, inst_e.seg_lo, inst_e.seg_hi):8.2f} ms")
+            print(f"red: emission segdiff {timeit(jax.jit(red_emit), dinst, inst_e.sorted_e, inst_e.seg_lo, inst_e.seg_hi):8.2f} ms")
 
         def red_sortsum(di, sg):
             rows = di[:9, :r].T

@@ -112,6 +112,50 @@ def test_pallas_ndc_grads():
     assert float(jnp.abs(g).max()) > 0
 
 
+def test_ghost_and_compact_layouts_agree():
+    """The ghost-aligned and compact slab layouts are two physical layouts
+    of the same composited instance sequence — images, final_T, n_contrib,
+    and gradients must match exactly-ish."""
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    bg = jnp.array([0.05, 0.1, 0.15])
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    ghost_cfg = dataclasses.replace(PAL_CFG, ghost_align=True)
+    params = random_cloud(jax.random.PRNGKey(11), 48)
+    ref = _render(params, camera, vm, campos, bg, 2, ghost_cfg)
+    got = _render(params, camera, vm, campos, bg, 2, PAL_CFG)
+    np.testing.assert_allclose(got.image, ref.image, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(got.final_T, ref.final_T, rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(got.n_contrib, ref.n_contrib)
+
+    target = jnp.linspace(0, 1, 32 * 64 * 3).reshape(3, 32, 64)
+
+    def loss(cfg):
+        def f(means, scales, quats, opac, shs):
+            p = dict(
+                means3d=means, scales=scales, quats=quats, opacities=opac,
+                shs=shs,
+            )
+            res = _render(p, camera, vm, campos, bg, 2, cfg)
+            return jnp.mean((res.image - target) ** 2)
+
+        return f
+
+    args = (
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], params["shs"],
+    )
+    g_ref = jax.grad(loss(ghost_cfg), argnums=(0, 1, 2, 3, 4))(*args)
+    g_cmp = jax.grad(loss(PAL_CFG), argnums=(0, 1, 2, 3, 4))(*args)
+    for go, gp, name in zip(
+        g_ref, g_cmp, ["means", "scales", "quats", "opacity", "sh"]
+    ):
+        scale = float(jnp.abs(go).max()) + 1e-12
+        np.testing.assert_allclose(
+            gp, go, rtol=1e-5, atol=1e-6 * scale, err_msg=name
+        )
+
+
 def test_pallas_tile_culling_output_identical():
     """Exact ellipse-box culling must not change image or final_T (it only
     drops instances that composite exactly zero for every pixel)."""
