@@ -51,25 +51,26 @@ T_STOP = 1.0e-4
 _X, _Y, _A, _B, _C, _OP, _R, _G, _B3 = range(9)
 
 
-def _tri_incl() -> jnp.ndarray:
-    """(CHUNK, CHUNK) M with M[i, j] = 1 if i <= j: x @ M = inclusive cumsum."""
+def _tri(strict: bool) -> jnp.ndarray:
+    """(CHUNK, CHUNK) M with M[i, j] = 1 if i <= j (inclusive) or i < j
+    (strict): x @ M = inclusive / exclusive cumsum."""
     r = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, CHUNK), 1)
-    return (r <= c).astype(jnp.bfloat16)
+    return ((r < c) if strict else (r <= c)).astype(jnp.bfloat16)
 
 
-def _lane_cumsum(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive lane cumsum as a triangular-matrix multiply. Measured faster
-    than a Hillis–Steele shift-add ladder: the MXU runs concurrently with the
-    VPU α math, so the matmul is effectively free while the rolls serialize
-    onto the already-saturated VPU.
+def _lane_cumsum(x: jnp.ndarray, exclusive: bool = False) -> jnp.ndarray:
+    """Lane cumsum as a triangular-matrix multiply. Measured faster than a
+    Hillis–Steele shift-add ladder: the MXU runs concurrently with the VPU α
+    math, so the matmul is effectively free while the rolls serialize onto
+    the already-saturated VPU.
 
     Precision: the triangular matrix is 0/1 — *exact* in bf16 — so splitting
     the f32 operand into three bf16 components and summing three single-pass
     bf16 matmuls in an f32 accumulator reproduces full-f32 products at half
     the MXU passes of Precision.HIGHEST (bf16x6); measured ~4 ms/step cheaper
     at the bench workload."""
-    tri = _tri_incl()
+    tri = _tri(exclusive)
     x0 = x.astype(jnp.bfloat16)
     r1 = x - x0.astype(jnp.float32)
     x1 = r1.astype(jnp.bfloat16)
@@ -173,9 +174,9 @@ def _fwd_kernel(
                 data, px, py, count, c * CHUNK - head
             )
             l = jnp.log1p(-a)
-            cs = _lane_cumsum(l)
-            N_incl = N * jnp.exp(cs)
-            N_excl = N_incl / (1.0 - a)
+            # exclusive cumsum ⇒ N_excl needs no per-pair division
+            N_excl = N * jnp.exp(_lane_cumsum(l, exclusive=True))
+            N_incl = N_excl * (1.0 - a)
             contrib = N_incl >= T_STOP
             w = a * N_excl * contrib
             rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
@@ -428,9 +429,8 @@ def _bwd_tile(
         )
         one_m = 1.0 - a
         l = jnp.log1p(-a)
-        cs = _lane_cumsum(l)
-        N_incl = N * jnp.exp(cs)
-        N_excl = N_incl / one_m
+        N_excl = N * jnp.exp(_lane_cumsum(l, exclusive=True))
+        N_incl = N_excl * one_m
         contrib = N_incl >= T_STOP
         gate = live & contrib
         w = a * N_excl * contrib
@@ -457,6 +457,10 @@ def _bwd_tile(
         dG_ddely = -gdy * C - gdx * B
 
         zero_row = jnp.zeros((1, CHUNK), jnp.float32)
+        # (measured dead end: replacing these six sublane reductions with a
+        # pixel-moment matmul — Σ W·poly(dx,dy) via (6,PX)@(PX,CHUNK) in
+        # tile-local coords — is 32.7→34.2 ms; TPU sublane reductions are
+        # cheaper than the bf16-split staging they'd save)
         rows = [
             jnp.sum(dL_dG * dG_ddelx, axis=0, keepdims=True),  # d x
             jnp.sum(dL_dG * dG_ddely, axis=0, keepdims=True),  # d y
