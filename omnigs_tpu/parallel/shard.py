@@ -90,36 +90,79 @@ def _render_image_sharded(
 
     idx = jax.lax.axis_index(GAUSS_AXIS)
     tile_lo = idx * tiles_per_dev
-    binned = bin_gaussians(
-        jax.tree_util.tree_map(jax.lax.stop_gradient, prep_full),
-        gx,
-        gy,
-        cfg.max_instances,
-        cfg.tile_cap,
-        tile_lo=tile_lo,
-        n_tiles=tiles_per_dev,
-    )
-    pix = tile_window_pixel_coords(tile_lo, tiles_per_dev, gx)
-    color_t, T_t, n_t = _composite_tiles(
-        prep_full.means2d,
-        prep_full.conic,
-        prep_full.rgb,
-        prep_full.opacity,
-        bg,
-        binned.tile_ids,
-        binned.tile_mask,
-        pix,
-        cfg.chunk,
-    )
+    prep_sg = jax.tree_util.tree_map(jax.lax.stop_gradient, prep_full)
+    if cfg.backend == "pallas":
+        # production path: compact binning of this device's tile window +
+        # the Pallas compositing kernels (interpret=True for the CPU-mesh
+        # dryrun/tests; compiled Mosaic on real chips)
+        from omnigs_tpu.ops.binning import bin_instances
+        from omnigs_tpu.ops.pallas_raster import composite_instances
+
+        inst = bin_instances(
+            prep_sg, gx, gy, cfg.max_instances,
+            tile_lo=tile_lo, n_tiles=tiles_per_dev,
+            tile_cull=cfg.tile_culling,
+        )
+        sorted_g, starts, counts = inst.sorted_g, inst.starts, inst.counts
+        overflow = jnp.zeros((), jnp.int32)
+        cap = cfg.aligned_cap
+        if cap is not None and cap < sorted_g.shape[0]:
+            fits = starts + counts <= cap
+            counts = jnp.where(fits, counts, 0)
+            starts = jnp.clip(starts, 0, cap - 1)
+            sorted_g = sorted_g[:cap]
+        t = tile_lo + jnp.arange(tiles_per_dev, dtype=jnp.int32)
+        x0 = (t % gx) * TILE
+        y0 = (t // gx) * TILE
+        color_t, T_t, n_t = composite_instances(
+            prep_full.means2d,
+            prep_full.conic,
+            prep_full.rgb,
+            prep_full.opacity,
+            bg,
+            sorted_g,
+            starts,
+            counts,
+            x0,
+            y0,
+            None,
+            None,
+            None,
+            tiles_per_dev,
+            cfg.interpret,
+        )
+        tiles_cmajor = color_t  # already (T_w, 3, PX)
+    else:
+        binned = bin_gaussians(
+            prep_sg,
+            gx,
+            gy,
+            cfg.max_instances,
+            cfg.tile_cap,
+            tile_lo=tile_lo,
+            n_tiles=tiles_per_dev,
+        )
+        pix = tile_window_pixel_coords(tile_lo, tiles_per_dev, gx)
+        color_t, T_t, n_t = _composite_tiles(
+            prep_full.means2d,
+            prep_full.conic,
+            prep_full.rgb,
+            prep_full.opacity,
+            bg,
+            binned.tile_ids,
+            binned.tile_mask,
+            pix,
+            cfg.chunk,
+        )
+        tiles_cmajor = jnp.swapaxes(color_t, 1, 2)
+        overflow = binned.overflow
     # assemble the full image (SSIM needs cross-tile context);
     # channels-first per the framework convention
-    all_tiles = jax.lax.all_gather(
-        jnp.swapaxes(color_t, 1, 2), GAUSS_AXIS, tiled=True
-    )
+    all_tiles = jax.lax.all_gather(tiles_cmajor, GAUSS_AXIS, tiled=True)
     image = _tiles_to_image(
         all_tiles[:num_tiles], gx, gy, camera.width, camera.height
     )
-    return image, prep_full.radii, binned
+    return image, prep_full.radii, overflow
 
 
 def sharded_render(
@@ -205,7 +248,7 @@ def make_sharded_train_step(
 
             def loss_fn(params, ndc):
                 m = model_shard.with_params(params)
-                image, radii, binned = _render_image_sharded(
+                image, radii, overflow = _render_image_sharded(
                     m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
                     means2d_ndc=ndc,
                 )
@@ -217,7 +260,7 @@ def make_sharded_train_step(
                 total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
                     1.0 - loss_ops.ssim(pred, gtc)
                 )
-                return total, (radii, binned.overflow)
+                return total, (radii, overflow)
 
             params = model_shard.params()
             ndc0 = jnp.zeros((model_shard.capacity, 2))
