@@ -31,7 +31,7 @@ def main():
     camera = Camera(CameraType.LONLAT, W, H)
     cfg = RasterConfig(
         max_instances=1 << 21, backend="pallas", tight_culling=True,
-        tile_culling=True, aligned_cap=5 << 18,
+        tile_culling=True, aligned_cap=9 << 17,
     )
     model = _example_model(capacity=P, n=P)
     vm = jnp.eye(4)
