@@ -70,14 +70,18 @@ def main():
     n_iters = args.iters or cfg.opt.max_num_iterations
     record_interval = cfg.mapper.all_keyframes_record_interval
     t0 = time.time()
+    t_last, it_last = t0, 0
     for _ in range(n_iters):
         aux = tr.train_iteration()
         it = tr.iteration
         if args.log_every and it % args.log_every == 0:
+            now = time.time()
+            rate = (now - t_last) / max(it - it_last, 1) * 1000
+            t_last, it_last = now, it
             print(
-                f"iter {it}/{n_iters} loss={float(aux['loss']):.4f} "
+                f"iter {it}/{n_iters} loss={tr.drain_losses():.4f} "
                 f"ema={tr.ema_loss:.4f} n={int(tr.model.num_active)} "
-                f"{(time.time()-t0)/it*1000:.0f} ms/it",
+                f"{rate:.0f} ms/it",
                 flush=True,
             )
         if record_interval and it % record_interval == 0:

@@ -96,6 +96,8 @@ class TpuParams:
     chunk: int = 64
     backend: str = "pallas"  # "pallas" (TPU) | "xla" (any device)
     tight_culling: bool = True
+    tile_culling: bool = True  # exact ellipse-box culling (pallas backend)
+    aligned_cap: int = 0  # live-slab cap; 0 = auto (5/8 · max_instances)
     mesh_data: int = 1  # view-parallel axis size
     mesh_gauss: int = 1  # Gaussian-parallel axis size
 
@@ -185,6 +187,8 @@ _KEYMAP = {
     "Tpu.max_instances": ("tpu", "max_instances", int),
     "Tpu.tile_cap": ("tpu", "tile_cap", int),
     "Tpu.chunk": ("tpu", "chunk", int),
+    "Tpu.tile_culling": ("tpu", "tile_culling", bool),
+    "Tpu.aligned_cap": ("tpu", "aligned_cap", int),
     "Tpu.mesh_data": ("tpu", "mesh_data", int),
     "Tpu.mesh_gauss": ("tpu", "mesh_gauss", int),
 }

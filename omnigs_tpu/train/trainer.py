@@ -57,6 +57,7 @@ from omnigs_tpu.train.renderer import render_model
         "do_adam",
         "skip_opacity_update",
     ),
+    donate_argnames=("model", "opt_state"),
 )
 def train_step(
     model: GaussianModel,
@@ -167,12 +168,15 @@ class Trainer:
         backend = cfg.tpu.backend
         if backend == "pallas" and _jax.default_backend() == "cpu":
             backend = "xla"  # Pallas compiled kernels are TPU-only
+        aligned_cap = cfg.tpu.aligned_cap or (cfg.tpu.max_instances * 5 // 8)
         self.raster_cfg = RasterConfig(
             max_instances=cfg.tpu.max_instances,
             tile_cap=cfg.tpu.tile_cap,
             chunk=cfg.tpu.chunk,
             backend=backend,
             tight_culling=cfg.tpu.tight_culling,
+            tile_culling=backend == "pallas" and cfg.tpu.tile_culling,
+            aligned_cap=aligned_cap if backend == "pallas" else None,
         )
         self.lr_cfg = opt_ops.LRConfig(
             position_lr_init=cfg.opt.position_lr_init,
@@ -192,10 +196,17 @@ class Trainer:
         )
         self.iteration = 0
         self.ema_loss = 0.0
+        self.last_loss = 0.0
+        self._pending_losses = []
+        self._it_dev = None
         self.key = jax.random.PRNGKey(self.seed)
         self.model: Optional[GaussianModel] = None
         self.opt_state: Optional[opt_ops.AdamState] = None
         self._gt_cache: Dict[int, jnp.ndarray] = {}
+        # device-resident pose tensors per keyframe: re-uploading the same
+        # 16 floats every iteration costs a host→device round trip per step
+        # (expensive on remote/tunneled devices)
+        self._pose_cache: Dict[int, tuple] = {}
         self.history = []
 
     # -- setup (`trainSfmPcd`, `gaussian_mapper.cpp:220-289`) --
@@ -279,13 +290,25 @@ class Trainer:
             else 0
         )
 
+        if kf.fid not in self._pose_cache:
+            self._pose_cache[kf.fid] = (
+                jnp.asarray(kf.viewmatrix),
+                jnp.asarray(kf.campos),
+            )
+        vm_dev, campos_dev = self._pose_cache[kf.fid]
+        # device-side step counter: jnp.asarray(it) would be a blocking
+        # host→device transfer every iteration (expensive on remote devices)
+        if self._it_dev is None:
+            self._it_dev = jnp.asarray(it)
+        else:
+            self._it_dev = self._it_dev + 1
         self.model, self.opt_state, aux = train_step(
             self.model,
             self.opt_state,
-            jnp.asarray(kf.viewmatrix),
-            jnp.asarray(kf.campos),
+            vm_dev,
+            campos_dev,
             self._gt(kf, camera),
-            jnp.asarray(it),
+            self._it_dev,
             camera=camera,
             sh_degree=self.sh_degree,
             raster_cfg=self.raster_cfg,
@@ -323,9 +346,26 @@ class Trainer:
                 self.model, self.opt_state
             )
 
-        loss = float(aux["loss"])
-        self.ema_loss = 0.4 * loss + 0.6 * self.ema_loss
+        # Defer the loss fetch: float(loss) here would force a device→host
+        # sync EVERY iteration (the reference's per-iter
+        # `torch::cuda::synchronize`, gaussian_mapper.cpp:416 — cheap on a
+        # local GPU, 100+ ms on a tunneled device). The EMA folds in lazily
+        # at the next log/record point; steps stay async-dispatched.
+        self._pending_losses.append(aux["loss"])
+        if len(self._pending_losses) > 512:
+            self.drain_losses()
         return aux
+
+    def drain_losses(self) -> float:
+        """Fold queued device-side losses into the host EMA (0.4/0.6 like
+        `gaussian_mapper.cpp:420`); returns the most recent loss."""
+        if self._pending_losses:
+            vals = [float(x) for x in self._pending_losses]
+            self._pending_losses.clear()
+            for v in vals:
+                self.last_loss = v
+                self.ema_loss = 0.4 * v + 0.6 * self.ema_loss
+        return self.last_loss
 
     # -- full-state checkpointing (beyond the reference's model-only PLY) --
 
@@ -340,6 +380,7 @@ class Trainer:
         self.model, self.opt_state, self.iteration, _ = load_checkpoint(
             path, self.config.tpu.capacity
         )
+        self._it_dev = None  # resync the device-side step counter
 
     def train(self, num_iterations: Optional[int] = None, log_every: int = 0):
         n = num_iterations or self.config.opt.max_num_iterations
@@ -347,8 +388,9 @@ class Trainer:
         for _ in range(n):
             aux = self.train_iteration()
             if log_every and self.iteration % log_every == 0:
+                self.drain_losses()
                 print(
-                    f"iter {self.iteration}: loss={float(aux['loss']):.4f} "
+                    f"iter {self.iteration}: loss={self.last_loss:.4f} "
                     f"ema={self.ema_loss:.4f} "
                     f"n_active={int(self.model.num_active)} "
                     f"({(time.time() - t0):.1f}s)",
