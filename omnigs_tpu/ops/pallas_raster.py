@@ -522,8 +522,11 @@ def _bwd_tile(
     @pl.when(c_final < n_chunks)
     def _():
         get_dma(jax.lax.rem(c_final, 2), c_final).wait()
-    # (gradient write-backs stay in flight across tiles; _emit_grad_chunk
-    # waits before slot reuse and _drain_grad_writes settles each program)
+    # settle this tile's gradient write-backs before moving on: only the
+    # pend *data* (VMEM scratch) crosses tile/program boundaries, never an
+    # in-flight DMA — the waits are nearly free (the copies completed while
+    # the next chunks were computed)
+    _drain_grad_writes(st, gbuf, out_sem, dinst_ref)
 
 
 def _pad_instances(max_instances: int) -> int:
