@@ -225,73 +225,6 @@ def _fwd_kernel(
     jax.lax.fori_loop(0, TPB, tile_body, 0)
 
 
-def _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, gdata, gchunk):
-    """Write one assembled (NROWS, CHUNK) gradient chunk to HBM at global
-    chunk index ``gchunk``, double-buffered over two gbuf slots. ``st`` is
-    the SMEM write-state: [pend_idx, wcount, woff0, woff1]."""
-    wcount = st[1]
-    s = jax.lax.rem(wcount, 2)
-
-    def dma(slot, off):
-        return pltpu.make_async_copy(
-            gbuf.at[slot],
-            dinst_ref.at[
-                :, pl.ds(pl.multiple_of(off * CHUNK, CHUNK), CHUNK)
-            ],
-            out_sem.at[slot],
-        )
-
-    # before reusing a slot, wait for the DMA issued from it two emits ago
-    @pl.when((wcount >= 2) & (s == 0))
-    def _():
-        dma(0, st[2]).wait()
-
-    @pl.when((wcount >= 2) & (s == 1))
-    def _():
-        dma(1, st[3]).wait()
-
-    @pl.when(s == 0)
-    def _():
-        gbuf[0] = gdata
-        dma(0, gchunk).start()
-        st[2] = gchunk
-
-    @pl.when(s == 1)
-    def _():
-        gbuf[1] = gdata
-        dma(1, gchunk).start()
-        st[3] = gchunk
-
-    st[1] = wcount + 1
-
-
-def _drain_grad_writes(st, gbuf, out_sem, dinst_ref):
-    """Wait for all outstanding gradient write-backs and reset the emit
-    counter (run at the end of every program; slots then start fresh)."""
-    wcount = st[1]
-
-    def dma(slot, off):
-        return pltpu.make_async_copy(
-            gbuf.at[slot],
-            dinst_ref.at[
-                :, pl.ds(pl.multiple_of(off * CHUNK, CHUNK), CHUNK)
-            ],
-            out_sem.at[slot],
-        )
-
-    # slot 0 has an outstanding DMA iff ≥1 emit happened, slot 1 iff ≥2
-    # (each slot holds at most one in-flight DMA — see _emit_grad_chunk)
-    @pl.when(wcount >= 1)
-    def _():
-        dma(0, st[2]).wait()
-
-    @pl.when(wcount >= 2)
-    def _():
-        dma(1, st[3]).wait()
-
-    st[1] = 0
-
-
 def _bwd_kernel(
     # scalar prefetch
     starts_ref,
@@ -303,29 +236,24 @@ def _bwd_kernel(
     color_full_ref,  # (1, TPB, 3·PX) — forward output incl. background
     dcolor_ref,  # (1, TPB, 3·PX)
     zeros_ref,  # (NROWS, R_pad) HBM — aliased to dinst_ref, unused
-    # output
+    # outputs
     dinst_ref,  # (NROWS, R_pad) HBM (zero-initialized via alias)
+    heads_ref,  # (1, TPB, NROWS·CHUNK) — each tile's first-chunk gradients
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
     gbuf,  # (2, NROWS, CHUNK) VMEM (double-buffered write-back)
     sems,  # DMA(2)
     out_sem,  # DMA(2)
-    pend,  # (NROWS, CHUNK) VMEM — pending shared boundary chunk
-    st,  # SMEM (4,) int32: [pend_idx, wcount, woff0, woff1]
 ):
     """Gradient chunks are written at the instances' *slab* positions. In the
-    compact layout consecutive tiles can share a 128-lane boundary chunk;
-    each tile's contribution has zeros in the other's lanes, so the chunk is
-    accumulated in ``pend`` (scratch persists across tiles AND grid steps —
-    sequential TPU grid) and written exactly once, when a tile that doesn't
-    share it comes up (or at the end of the grid)."""
+    compact layout, consecutive tiles can share a 128-lane boundary chunk —
+    and that shared chunk is always some tile's FIRST chunk. So each tile
+    writes chunks 1..n−1 directly (provably collision-free: a chunk interior
+    to one tile belongs to no other) and routes chunk 0 through a private
+    per-tile ``heads`` output; a trivial scatter-add outside the kernel
+    merges heads into the slab. No cross-tile kernel state, no conditional
+    semaphore waits."""
     pid = pl.program_id(0)
-
-    @pl.when(pid == 0)
-    def _():
-        st[0] = -1
-        st[1] = 0
-        pend[...] = jnp.zeros((NROWS, CHUNK), jnp.float32)
 
     def tile_loop(i, _):
         _bwd_tile(
@@ -339,24 +267,15 @@ def _bwd_kernel(
             color_full_ref,
             dcolor_ref,
             dinst_ref,
+            heads_ref,
             buf,
             gbuf,
             sems,
             out_sem,
-            pend,
-            st,
         )
         return 0
 
     jax.lax.fori_loop(0, TPB, tile_loop, 0)
-
-    # final flush of a still-pending boundary chunk
-    @pl.when((pid == pl.num_programs(0) - 1) & (st[0] >= 0))
-    def _():
-        _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, pend[...], st[0])
-        st[0] = -1
-
-    _drain_grad_writes(st, gbuf, out_sem, dinst_ref)
 
 
 def _bwd_tile(
@@ -370,12 +289,11 @@ def _bwd_tile(
     color_full_ref,
     dcolor_ref,
     dinst_ref,
+    heads_ref,
     buf,
     gbuf,
     sems,
     out_sem,
-    pend,
-    st,
 ):
     start = starts_ref[t]
     count = counts_ref[t]
@@ -384,13 +302,6 @@ def _bwd_tile(
     head = start - base
     n_chunks = pl.cdiv(head + count, CHUNK)
     bchunk = base // CHUNK
-
-    # flush a pending boundary chunk this tile does not share (tiles are
-    # processed in increasing slab order, so nothing later can merge it)
-    @pl.when((count > 0) & (st[0] >= 0) & (st[0] != bchunk))
-    def _():
-        _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, pend[...], st[0])
-        st[0] = -1
 
     # unpack channel-plane rows once per tile (lane-packed to keep the
     # HBM arrays and DMAs unpadded)
@@ -406,9 +317,23 @@ def _bwd_tile(
             sems.at[slot],
         )
 
+    def out_dma(c):
+        # direct write of chunk c ≥ 1 at its global slab chunk (bchunk + c)
+        off = pl.multiple_of((bchunk + c) * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gbuf.at[jax.lax.rem(c, 2)],
+            dinst_ref.at[:, pl.ds(off, CHUNK)],
+            out_sem.at[jax.lax.rem(c, 2)],
+        )
+
     @pl.when(n_chunks > 0)
     def _():
         get_dma(0, 0).start()
+
+    # padded/empty tiles still own a heads slot — keep it zero
+    @pl.when(count == 0)
+    def _():
+        heads_ref[0, i] = jnp.zeros((NROWS * CHUNK,), jnp.float32)
 
     def cond(carry):
         c, N, _ = carry
@@ -475,27 +400,23 @@ def _bwd_tile(
         rows += [zero_row] * (NROWS - len(rows))
         gdata = jnp.concatenate(rows, axis=0)
 
-        # boundary-chunk carry: merge with a pending contribution from the
-        # previous tile (same global chunk), hold this tile's last chunk in
-        # `pend` for the next tile to merge, write interior chunks directly
-        gchunk = bchunk + c
-        is_pend = gchunk == st[0]
-        merged = jnp.where(is_pend, gdata + pend[...], gdata)
-
-        @pl.when(is_pend)
+        # chunk 0 (possibly shared with the previous tile) → private heads
+        # slot, merged by a scatter-add outside the kernel
+        @pl.when(c == 0)
         def _():
-            st[0] = -1
+            heads_ref[0, i] = gdata.reshape(NROWS * CHUNK)
 
-        is_last = c == n_chunks - 1
-
-        @pl.when(is_last)
+        # interior chunks → direct double-buffered write-back (the classic
+        # pattern: before writing chunk c, wait for the chunk-(c−2) DMA that
+        # used the same gbuf slot)
+        @pl.when(c >= 1)
         def _():
-            pend[...] = merged
-            st[0] = gchunk
+            @pl.when(c >= 3)
+            def _():
+                out_dma(c - 2).wait()
 
-        @pl.when(jnp.logical_not(is_last))
-        def _():
-            _emit_grad_chunk(st, gbuf, out_sem, dinst_ref, merged, gchunk)
+            gbuf[jax.lax.rem(c, 2)] = gdata
+            out_dma(c).start()
 
         # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch
         chunk_color = jax.lax.dot_general(
@@ -518,15 +439,20 @@ def _bwd_tile(
     )
     c_final, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain the prefetched in-flight DMA on early termination (see fwd)
+    # drain the prefetched in-flight read DMA on early termination (see fwd)
     @pl.when(c_final < n_chunks)
     def _():
         get_dma(jax.lax.rem(c_final, 2), c_final).wait()
-    # settle this tile's gradient write-backs before moving on: only the
-    # pend *data* (VMEM scratch) crosses tile/program boundaries, never an
-    # in-flight DMA — the waits are nearly free (the copies completed while
-    # the next chunks were computed)
-    _drain_grad_writes(st, gbuf, out_sem, dinst_ref)
+
+    # drain this tile's direct write-backs: chunks c_final−2 and c_final−1
+    # are the only ones not yet waited (body waits chunk c−2 at chunk c)
+    @pl.when(c_final - 2 >= 1)
+    def _():
+        out_dma(c_final - 2).wait()
+
+    @pl.when(c_final - 1 >= 1)
+    def _():
+        out_dma(c_final - 1).wait()
 
 
 def _pad_instances(max_instances: int) -> int:
@@ -612,26 +538,43 @@ def composite_pallas_bwd(
             pl.BlockSpec((1, TPB, 3 * PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(
+                (1, TPB, NROWS * CHUNK),
+                lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
-            pltpu.SMEM((4,), jnp.int32),
         ],
     )
     zeros = jnp.zeros_like(inst_T)
-    (dinst,) = pl.pallas_call(
+    dinst, heads = pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(inst_T.shape, jnp.float32)],
+        out_shape=[
+            jax.ShapeDtypeStruct(inst_T.shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_prog, TPB, NROWS * CHUNK), jnp.float32),
+        ],
         input_output_aliases={7: 0},  # zeros (after 4 prefetch + 3 inputs)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, counts, x0, y0, inst_T, color_full, dcolor, zeros)
-    return dinst
+    # merge each tile's first-chunk gradients into the slab. A tile's first
+    # chunk may be shared with its neighbours (unaligned compact layout), so
+    # this is a (tiny, T-row) scatter-ADD over global chunk indices.
+    r_pad = inst_T.shape[1]
+    assert r_pad % CHUNK == 0, r_pad
+    heads = heads.reshape(t_pad, NROWS, CHUNK)[:num_tiles]
+    bchunk = jnp.clip(starts[:num_tiles] // CHUNK, 0, r_pad // CHUNK - 1)
+    dinst3 = dinst.reshape(NROWS, r_pad // CHUNK, CHUNK)
+    dinst3 = dinst3.at[:, bchunk, :].add(heads.transpose(1, 0, 2))
+    return dinst3.reshape(NROWS, r_pad)
 
 
 def _bwd_in_specs_patch():  # pragma: no cover - documentation helper

@@ -71,6 +71,8 @@ class ParallelTrainer:
         )
         self.iteration = 0
         self.ema_loss = 0.0
+        self.last_loss = 0.0
+        self._pending_losses = []
         self.key = jax.random.PRNGKey(self.seed)
         self._steps = {}
         self._densify = None
@@ -193,6 +195,18 @@ class ParallelTrainer:
                 self.model, self.opt_state
             )
 
-        loss_f = float(loss)
-        self.ema_loss = 0.4 * loss_f + 0.6 * self.ema_loss
-        return loss_f
+        # lazy loss fetch (see Trainer.drain_losses): a float() here would
+        # sync the whole mesh every iteration
+        self._pending_losses.append(loss)
+        if len(self._pending_losses) > 512:
+            self.drain_losses()
+        return loss
+
+    def drain_losses(self) -> float:
+        if self._pending_losses:
+            vals = [float(x) for x in self._pending_losses]
+            self._pending_losses.clear()
+            for v in vals:
+                self.last_loss = v
+                self.ema_loss = 0.4 * v + 0.6 * self.ema_loss
+        return self.last_loss
