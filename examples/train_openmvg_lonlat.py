@@ -71,8 +71,15 @@ def main():
     record_interval = cfg.mapper.all_keyframes_record_interval
     t0 = time.time()
     t_last, it_last = t0, 0
-    for _ in range(n_iters):
-        aux = tr.train_iteration()
+    fuse = cfg.tpu.fuse_steps
+    while tr.iteration < n_iters:
+        budget = n_iters - tr.iteration
+        for interval in (args.log_every, record_interval):
+            if interval:
+                budget = min(budget, interval - tr.iteration % interval)
+        took = tr.train_window(min(budget, fuse)) if fuse > 1 else 0
+        if took == 0:
+            tr.train_iteration()
         it = tr.iteration
         if args.log_every and it % args.log_every == 0:
             now = time.time()

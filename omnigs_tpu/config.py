@@ -98,6 +98,9 @@ class TpuParams:
     tight_culling: bool = True
     tile_culling: bool = True  # exact ellipse-box culling (pallas backend)
     aligned_cap: int = 0  # live-slab cap; 0 = auto (5/8 · max_instances)
+    # iterations scanned into one device program between densify/reset/
+    # SH-bump events (1 = dispatch per iteration like the reference loop)
+    fuse_steps: int = 24
     mesh_data: int = 1  # view-parallel axis size
     mesh_gauss: int = 1  # Gaussian-parallel axis size
 
@@ -189,6 +192,7 @@ _KEYMAP = {
     "Tpu.chunk": ("tpu", "chunk", int),
     "Tpu.tile_culling": ("tpu", "tile_culling", bool),
     "Tpu.aligned_cap": ("tpu", "aligned_cap", int),
+    "Tpu.fuse_steps": ("tpu", "fuse_steps", int),
     "Tpu.mesh_data": ("tpu", "mesh_data", int),
     "Tpu.mesh_gauss": ("tpu", "mesh_gauss", int),
 }

@@ -79,7 +79,7 @@ def train_step(
     do_adam: bool = True,
     skip_opacity_update: bool = False,
 ):
-    """One fused train iteration: render → loss → backward → stats → Adam."""
+    """One train iteration: render → loss → backward → stats → Adam."""
     params = model.params()
     ndc_zeros = jnp.zeros((model.capacity, 2))
 
@@ -134,6 +134,80 @@ def train_step(
         truncated=truncated,
     )
     return model, opt_state, aux
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "camera",
+        "sh_degree",
+        "raster_cfg",
+        "lr_cfg",
+        "spatial_lr_scale",
+        "lambda_dssim",
+        "skip_bottom_px",
+        "update_stats",
+    ),
+    donate_argnames=("model", "opt_state"),
+)
+def train_steps_fused(
+    model: GaussianModel,
+    opt_state: opt_ops.AdamState,
+    viewmatrices: jnp.ndarray,  # (K, 4, 4)
+    camposes: jnp.ndarray,  # (K, 3)
+    gt_images: jnp.ndarray,  # (K, 3, H, W)
+    step0: jnp.ndarray,
+    *,
+    camera: Camera,
+    sh_degree: int,
+    raster_cfg: RasterConfig,
+    lr_cfg: opt_ops.LRConfig,
+    spatial_lr_scale: float,
+    bg: jnp.ndarray,
+    lambda_dssim: float = 0.2,
+    skip_bottom_px: int = 0,
+    update_stats: bool = True,
+):
+    """K train iterations fused into ONE device program via `lax.scan`.
+
+    TPU-idiomatic: the reference's C++ loop dispatches one iteration at a
+    time (free on a local GPU); here the host round-trip per dispatch is the
+    bottleneck, so the trainer scans whole windows between densify/reset/
+    SH-bump events (those steps run via `train_step`, which carries the
+    event flags). Inside a window `do_adam=True` and
+    `skip_opacity_update=False` always hold — windows end strictly before
+    event iterations."""
+    k = viewmatrices.shape[0]
+    its = step0 + jnp.arange(1, k + 1)
+
+    def body(carry, xs):
+        m, o = carry
+        vm, cp, gt, it = xs
+        m, o, aux = train_step.__wrapped__(
+            m,
+            o,
+            vm,
+            cp,
+            gt,
+            it,
+            camera=camera,
+            sh_degree=sh_degree,
+            raster_cfg=raster_cfg,
+            lr_cfg=lr_cfg,
+            spatial_lr_scale=spatial_lr_scale,
+            bg=bg,
+            lambda_dssim=lambda_dssim,
+            skip_bottom_px=skip_bottom_px,
+            update_stats=update_stats,
+            do_adam=True,
+            skip_opacity_update=False,
+        )
+        return (m, o), aux["loss"]
+
+    (model, opt_state), losses = jax.lax.scan(
+        body, (model, opt_state), (viewmatrices, camposes, gt_images, its)
+    )
+    return model, opt_state, losses
 
 
 densify_and_prune_jit = jax.jit(
@@ -360,12 +434,93 @@ class Trainer:
         """Fold queued device-side losses into the host EMA (0.4/0.6 like
         `gaussian_mapper.cpp:420`); returns the most recent loss."""
         if self._pending_losses:
-            vals = [float(x) for x in self._pending_losses]
-            self._pending_losses.clear()
-            for v in vals:
-                self.last_loss = v
-                self.ema_loss = 0.4 * v + 0.6 * self.ema_loss
+            pend, self._pending_losses = self._pending_losses, []
+            for x in pend:
+                for v in np.atleast_1d(np.asarray(x)).tolist():
+                    self.last_loss = v
+                    self.ema_loss = 0.4 * v + 0.6 * self.ema_loss
         return self.last_loss
+
+    # -- fused multi-step windows --
+
+    def _next_event_iter(self, it: int) -> int:
+        """First iteration > ``it`` that needs the single-step path (densify,
+        opacity reset, SH-degree bump, phase boundary, final iteration)."""
+        cfg = self.config
+
+        def nxt(m):
+            return (it // m + 1) * m
+
+        events = [nxt(1000)]  # SH degree bump cadence
+        if cfg.opt.densification_interval:
+            events.append(nxt(cfg.opt.densification_interval))
+        if cfg.opt.opacity_reset_interval:
+            events.append(nxt(cfg.opt.opacity_reset_interval))
+        for b in (
+            cfg.opt.densify_from_iter,
+            cfg.opt.densify_until_iter,
+            cfg.opt.max_num_iterations,
+        ):
+            if b > it:
+                events.append(b)
+        return min(events)
+
+    def _ensure_banks(self):
+        """Device-resident (V, ...) pose and GT banks for fused windows."""
+        if getattr(self, "_banks", None) is not None:
+            return
+        fids = sorted(self.scene.keyframes)
+        kfs = [self.scene.keyframes[f] for f in fids]
+        vms = jnp.asarray(np.stack([k.viewmatrix for k in kfs]))
+        cps = jnp.asarray(np.stack([k.campos for k in kfs]))
+        gts = jnp.stack([self._gt(k) for k in kfs])
+        self._banks = ({f: i for i, f in enumerate(fids)}, vms, cps, gts)
+
+    def train_window(self, max_steps: int) -> int:
+        """Run up to ``max_steps`` iterations as ONE scanned device program
+        (between event iterations). Returns the number of steps taken —
+        0 means the next iteration is an event: call `train_iteration`.
+        Falls back to 0 when fusion doesn't apply (pyramid training)."""
+        cfg = self.config
+        if cfg.pyramid.do and cfg.pyramid.num_sub_levels > 0:
+            return 0
+        it = self.iteration
+        k = min(max_steps, self._next_event_iter(it) - 1 - it)
+        if k <= 0:
+            return 0
+        self._ensure_banks()
+        fid_to_row, vms, cps, gts = self._banks
+        rows = np.asarray(
+            [fid_to_row[self.sampler.sample().fid] for _ in range(k)],
+            np.int32,
+        )
+        camera = self.camera
+        skip_bottom_px = (
+            int(round(camera.height * cfg.opt.skip_bottom_ratio))
+            if cfg.opt.skip_bottom_ratio > 0
+            else 0
+        )
+        self.model, self.opt_state, losses = train_steps_fused(
+            self.model,
+            self.opt_state,
+            vms[rows],
+            cps[rows],
+            gts[rows],
+            jnp.asarray(it),
+            camera=camera,
+            sh_degree=self.sh_degree,
+            raster_cfg=self.raster_cfg,
+            lr_cfg=self.lr_cfg,
+            spatial_lr_scale=self.cameras_extent,
+            bg=self.bg,
+            lambda_dssim=cfg.opt.lambda_dssim,
+            skip_bottom_px=skip_bottom_px,
+            update_stats=it + k <= cfg.opt.densify_until_iter,
+        )
+        self.iteration = it + k
+        self._it_dev = None  # resync the single-step device counter
+        self._pending_losses.append(losses)
+        return k
 
     # -- full-state checkpointing (beyond the reference's model-only PLY) --
 
@@ -382,11 +537,25 @@ class Trainer:
         )
         self._it_dev = None  # resync the device-side step counter
 
-    def train(self, num_iterations: Optional[int] = None, log_every: int = 0):
+    def train(
+        self,
+        num_iterations: Optional[int] = None,
+        log_every: int = 0,
+        fuse: Optional[int] = None,
+    ):
         n = num_iterations or self.config.opt.max_num_iterations
+        fuse = self.config.tpu.fuse_steps if fuse is None else fuse
         t0 = time.time()
-        for _ in range(n):
-            aux = self.train_iteration()
+        end = self.iteration + n
+        while self.iteration < end:
+            budget = end - self.iteration
+            if log_every:
+                budget = min(
+                    budget, log_every - self.iteration % log_every
+                )
+            took = self.train_window(min(budget, fuse)) if fuse > 1 else 0
+            if took == 0:
+                self.train_iteration()
             if log_every and self.iteration % log_every == 0:
                 self.drain_losses()
                 print(

@@ -136,3 +136,45 @@ def test_opacity_reset_in_loop():
     # after reset at iter 5, all active opacities ≤ 0.01
     op = np.asarray(tr.model.get_opacity())[np.asarray(tr.model.active)]
     assert (op <= 0.0101).all()
+
+
+def test_fused_windows_match_single_steps():
+    """`train_window` (scanned K-step device program) must reproduce the
+    single-step loop exactly: same sampler sequence, same LR schedule, same
+    stats — parameters agree to float tolerance."""
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    cfg = Config()
+    cfg.tpu = dataclasses.replace(
+        cfg.tpu, capacity=64, max_instances=1 << 13, tile_cap=128, chunk=8
+    )
+    cfg.opt.densify_from_iter = 10
+    cfg.opt.densification_interval = 10
+    cfg.opt.densify_until_iter = 25
+    cfg.opt.opacity_reset_interval = 0
+    cfg.opt.position_lr_max_steps = 30
+
+    def run(fused):
+        scene = _make_scene(camera, seed=3)
+        tr = Trainer(scene, cfg, seed=7)
+        tr.init_from_sfm()
+        if fused:
+            while tr.iteration < 30:
+                took = tr.train_window(min(8, 30 - tr.iteration))
+                if took == 0:
+                    tr.train_iteration()
+        else:
+            for _ in range(30):
+                tr.train_iteration()
+        tr.drain_losses()
+        return tr
+
+    a, b = run(False), run(True)
+    assert a.iteration == b.iteration == 30
+    np.testing.assert_allclose(a.ema_loss, b.ema_loss, rtol=1e-4)
+    for k in a.model.params():
+        ga, gb = a.model.params()[k], b.model.params()[k]
+        scale = float(jnp.abs(ga).max()) + 1e-12
+        np.testing.assert_allclose(
+            np.asarray(gb), np.asarray(ga), rtol=1e-4,
+            atol=1e-5 * scale, err_msg=k,
+        )
