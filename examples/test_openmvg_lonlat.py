@@ -43,12 +43,10 @@ def main():
         zfar=cfg.pipe.z_far,
     )
     # load with active_sh = max (`gaussian_model.cpp:975`)
+    from omnigs_tpu.config import raster_config_from
+
     model = load_gaussian_ply(args.model_ply, capacity=cfg.tpu.capacity)
-    raster_cfg = RasterConfig(
-        max_instances=cfg.tpu.max_instances,
-        tile_cap=cfg.tpu.tile_cap,
-        chunk=cfg.tpu.chunk,
-    )
+    raster_cfg = raster_config_from(cfg)
     bg = jnp.ones(3) if cfg.model.white_background else jnp.zeros(3)
     means = render_and_record_all_keyframes(
         model,

@@ -32,7 +32,13 @@ def main():
 
     model = load_gaussian_ply(args.model_ply)
     camera = Camera(CameraType.LONLAT, args.width, args.height)
-    cfg = RasterConfig(max_instances=1 << 21, backend="pallas")
+    cfg = RasterConfig(
+        max_instances=1 << 21,
+        backend="pallas" if jax.default_backend() != "cpu" else "xla",
+        tight_culling=True,
+        tile_culling=jax.default_backend() != "cpu",
+        aligned_cap=(1 << 21) * 5 // 8,
+    )
 
     @jax.jit
     def _render_color(vm, campos):

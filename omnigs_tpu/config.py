@@ -198,6 +198,29 @@ _KEYMAP = {
 }
 
 
+def raster_config_from(cfg: Config):
+    """Build the production RasterConfig from Tpu.* knobs (shared by the
+    trainer, the eval/test entry points, and the viewer). Falls back to the
+    XLA backend off-TPU (Pallas compiled kernels are TPU-only)."""
+    import jax
+
+    from omnigs_tpu.ops.rasterize import RasterConfig
+
+    backend = cfg.tpu.backend
+    if backend == "pallas" and jax.default_backend() == "cpu":
+        backend = "xla"
+    aligned_cap = cfg.tpu.aligned_cap or (cfg.tpu.max_instances * 5 // 8)
+    return RasterConfig(
+        max_instances=cfg.tpu.max_instances,
+        tile_cap=cfg.tpu.tile_cap,
+        chunk=cfg.tpu.chunk,
+        backend=backend,
+        tight_culling=cfg.tpu.tight_culling,
+        tile_culling=backend == "pallas" and cfg.tpu.tile_culling,
+        aligned_cap=aligned_cap if backend == "pallas" else None,
+    )
+
+
 def load_config(path: Union[str, Path]) -> Config:
     """Load a reference-format YAML (e.g. `cfg/lonlat/360roam_lonlat.yaml`)."""
     raw = _parse_opencv_yaml(path)

@@ -237,21 +237,9 @@ class Trainer:
         else:
             self.camera = next(iter(self.scene.keyframes.values())).camera
         _, self.cameras_extent = self.scene.nerfpp_norm()
-        import jax as _jax
+        from omnigs_tpu.config import raster_config_from
 
-        backend = cfg.tpu.backend
-        if backend == "pallas" and _jax.default_backend() == "cpu":
-            backend = "xla"  # Pallas compiled kernels are TPU-only
-        aligned_cap = cfg.tpu.aligned_cap or (cfg.tpu.max_instances * 5 // 8)
-        self.raster_cfg = RasterConfig(
-            max_instances=cfg.tpu.max_instances,
-            tile_cap=cfg.tpu.tile_cap,
-            chunk=cfg.tpu.chunk,
-            backend=backend,
-            tight_culling=cfg.tpu.tight_culling,
-            tile_culling=backend == "pallas" and cfg.tpu.tile_culling,
-            aligned_cap=aligned_cap if backend == "pallas" else None,
-        )
+        self.raster_cfg = raster_config_from(cfg)
         self.lr_cfg = opt_ops.LRConfig(
             position_lr_init=cfg.opt.position_lr_init,
             position_lr_final=cfg.opt.position_lr_final,
