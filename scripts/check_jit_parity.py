@@ -77,6 +77,54 @@ def main():
         f"(mean |img| {xmean:.4f})  ({'OK' if xok else 'FAIL'})"
     )
 
+    # Pinhole camera path (perspective projection + full-proj matrix) on
+    # chip: pallas vs xla.
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    _sys.path.insert(
+        0, str(_Path(__file__).resolve().parent.parent / "tests")
+    )
+    from helpers import random_cloud
+
+    from omnigs_tpu.cameras import focal2fov
+    from omnigs_tpu.ops.rasterize import rasterize
+    from omnigs_tpu.scene.keyframe import getProjectionMatrix
+
+    pcam = Camera(
+        CameraType.PINHOLE, 640, 480, fx=400.0, fy=400.0, cx=320.0, cy=240.0
+    )
+    pp = random_cloud(jax.random.PRNGKey(5), 256)
+    pp["means3d"] = pp["means3d"] + jnp.array([0.0, 0.0, 4.0])
+    proj = jnp.asarray(
+        getProjectionMatrix(
+            0.01, 100.0, focal2fov(400.0, 640), focal2fov(400.0, 480)
+        )
+    )
+
+    def render_pin(backend, **kw):
+        pcfg = RasterConfig(
+            max_instances=1 << 18, backend=backend, tile_cap=1024, **kw
+        )
+        return rasterize(
+            pp["means3d"], pp["scales"], pp["quats"], pp["opacities"],
+            pp["shs"], camera=pcam, viewmatrix=jnp.eye(4),
+            campos=jnp.zeros(3), bg=jnp.array([0.1, 0.2, 0.3]), sh_degree=2,
+            config=pcfg, full_proj=proj @ jnp.eye(4),
+        )
+
+    px = jax.jit(lambda: render_pin("xla"))()
+    pl_ = jax.jit(
+        lambda: render_pin("pallas", tight_culling=True, tile_culling=True)
+    )()
+    perr = float(jnp.abs(px.image - pl_.image).max())
+    pmean = float(jnp.abs(px.image).mean())
+    pok = perr < 0.01 and pmean > 0.05
+    print(
+        f"pinhole pallas-vs-xla max image error: {perr:.6f} "
+        f"(mean |img| {pmean:.4f})  ({'OK' if pok else 'FAIL'})"
+    )
+
     # Gradient parity at full bench scale: the compact layout's backward
     # (cross-tile boundary-chunk carry, compiled Mosaic) vs the ghost-aligned
     # layout (disjoint per-tile writes). Same composited sequence — grads
@@ -115,7 +163,7 @@ def main():
             f"grad[{k}] compact-vs-ghost rel err: {gerr:.2e}  "
             f"({'OK' if this_ok else 'FAIL'})"
         )
-    sys.exit(0 if (ok and xok and gok) else 1)
+    sys.exit(0 if (ok and xok and gok and pok) else 1)
 
 
 if __name__ == "__main__":
