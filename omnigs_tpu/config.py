@@ -97,7 +97,10 @@ class TpuParams:
     backend: str = "pallas"  # "pallas" (TPU) | "xla" (any device)
     tight_culling: bool = True
     tile_culling: bool = True  # exact ellipse-box culling (pallas backend)
-    aligned_cap: int = 0  # live-slab cap; 0 = auto (5/8 · max_instances)
+    aligned_cap: int = 0  # live-slab cap; 0 = uncapped (never drops tiles)
+    # device-memory budget for the fused-window GT bank; scenes whose GT
+    # images exceed it fall back to per-window host gather + upload
+    gt_bank_mb: int = 2048
     # iterations scanned into one device program between densify/reset/
     # SH-bump events (1 = dispatch per iteration like the reference loop)
     fuse_steps: int = 24
@@ -193,6 +196,7 @@ _KEYMAP = {
     "Tpu.tile_culling": ("tpu", "tile_culling", bool),
     "Tpu.aligned_cap": ("tpu", "aligned_cap", int),
     "Tpu.fuse_steps": ("tpu", "fuse_steps", int),
+    "Tpu.gt_bank_mb": ("tpu", "gt_bank_mb", int),
     "Tpu.mesh_data": ("tpu", "mesh_data", int),
     "Tpu.mesh_gauss": ("tpu", "mesh_gauss", int),
 }
@@ -209,7 +213,15 @@ def raster_config_from(cfg: Config):
     backend = cfg.tpu.backend
     if backend == "pallas" and jax.default_backend() == "cpu":
         backend = "xla"
-    aligned_cap = cfg.tpu.aligned_cap or (cfg.tpu.max_instances * 5 // 8)
+    # aligned_cap: 0/unset = uncapped (slab spans the full sorted array —
+    # never drops anything). An explicit cap is a perf knob that trades
+    # deterministic, *counted* tile drops for smaller gather/scatter stages;
+    # it is rounded up to the Pallas chunk width (kernel DMA alignment).
+    aligned_cap = cfg.tpu.aligned_cap or None
+    if aligned_cap is not None:
+        from omnigs_tpu.ops.pallas_raster import CHUNK
+
+        aligned_cap = -(-aligned_cap // CHUNK) * CHUNK
     return RasterConfig(
         max_instances=cfg.tpu.max_instances,
         tile_cap=cfg.tpu.tile_cap,

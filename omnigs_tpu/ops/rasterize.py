@@ -77,6 +77,15 @@ class RasterConfig:
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
         assert self.backend in ("xla", "pallas")
+        if self.aligned_cap is not None and self.backend == "pallas":
+            from omnigs_tpu.ops.pallas_raster import CHUNK
+
+            # the Pallas backward DMAs whole CHUNK-wide slices; a ragged
+            # cap renders fine forward-only but trace-crashes training
+            assert self.aligned_cap % CHUNK == 0, (
+                f"aligned_cap must be a multiple of {CHUNK}, "
+                f"got {self.aligned_cap}"
+            )
 
 
 class RenderResult(NamedTuple):

@@ -105,9 +105,13 @@ def _render_image_sharded(
         )
         sorted_g, starts, counts = inst.sorted_g, inst.starts, inst.counts
         overflow = jnp.zeros((), jnp.int32)
+        truncated = inst.truncated
         cap = cfg.aligned_cap
         if cap is not None and cap < sorted_g.shape[0]:
             fits = starts + counts <= cap
+            # cap-trimmed tiles are dropped deterministically — counted,
+            # never silent (binning contract; ADVICE r1)
+            truncated = truncated + jnp.sum(jnp.where(fits, 0, counts))
             counts = jnp.where(fits, counts, 0)
             starts = jnp.clip(starts, 0, cap - 1)
             sorted_g = sorted_g[:cap]
@@ -156,13 +160,14 @@ def _render_image_sharded(
         )
         tiles_cmajor = jnp.swapaxes(color_t, 1, 2)
         overflow = binned.overflow
+        truncated = binned.truncated
     # assemble the full image (SSIM needs cross-tile context);
     # channels-first per the framework convention
     all_tiles = jax.lax.all_gather(tiles_cmajor, GAUSS_AXIS, tiled=True)
     image = _tiles_to_image(
         all_tiles[:num_tiles], gx, gy, camera.width, camera.height
     )
-    return image, prep_full.radii, overflow
+    return image, prep_full.radii, overflow, truncated
 
 
 def sharded_render(
@@ -191,7 +196,7 @@ def sharded_render(
         check_vma=False,
     )
     def fwd(model_shard, vm, cp, bgc):
-        img, _, _ = _render_image_sharded(
+        img, _, _, _ = _render_image_sharded(
             model_shard, vm, cp, camera, bgc, sh_degree, cfg, n_gauss
         )
         return img
@@ -248,7 +253,7 @@ def make_sharded_train_step(
 
             def loss_fn(params, ndc):
                 m = model_shard.with_params(params)
-                image, radii, overflow = _render_image_sharded(
+                image, radii, overflow, truncated = _render_image_sharded(
                     m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
                     means2d_ndc=ndc,
                 )
@@ -260,11 +265,11 @@ def make_sharded_train_step(
                 total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
                     1.0 - loss_ops.ssim(pred, gtc)
                 )
-                return total, (radii, overflow)
+                return total, (radii, overflow, truncated)
 
             params = model_shard.params()
             ndc0 = jnp.zeros((model_shard.capacity, 2))
-            (loss, (radii_full, overflow)), (grads, ndc_g) = (
+            (loss, (radii_full, overflow, truncated)), (grads, ndc_g) = (
                 jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                     params, ndc0
                 )
@@ -272,6 +277,15 @@ def make_sharded_train_step(
             # view-parallel gradient all-reduce (overlapped by XLA)
             grads = jax.lax.pmean(grads, DATA_AXIS)
             loss_mean = jax.lax.pmean(loss, DATA_AXIS)
+            # capacity-pressure counters, totalled over the whole mesh
+            # (each gauss shard bins its own tile window; data groups see
+            # different views)
+            overflow = jax.lax.psum(
+                jax.lax.psum(overflow, GAUSS_AXIS), DATA_AXIS
+            )
+            truncated = jax.lax.psum(
+                jax.lax.psum(truncated, GAUSS_AXIS), DATA_AXIS
+            )
 
             model_new = model_shard
             if update_stats:
@@ -306,7 +320,10 @@ def make_sharded_train_step(
                     model_new.active,
                 )
                 model_new = model_new.with_params(new_params)
-            return model_new, opt_new, loss_mean
+            aux = dict(
+                loss=loss_mean, overflow=overflow, truncated=truncated
+            )
+            return model_new, opt_new, aux
 
         return _step(model, opt_state, viewmatrices, camposes, gt_images, it)
 

@@ -202,12 +202,12 @@ def train_steps_fused(
             do_adam=True,
             skip_opacity_update=False,
         )
-        return (m, o), aux["loss"]
+        return (m, o), (aux["loss"], aux["overflow"], aux["truncated"])
 
-    (model, opt_state), losses = jax.lax.scan(
+    (model, opt_state), (losses, overflow, truncated) = jax.lax.scan(
         body, (model, opt_state), (viewmatrices, camposes, gt_images, its)
     )
-    return model, opt_state, losses
+    return model, opt_state, (losses, jnp.sum(overflow), jnp.sum(truncated))
 
 
 densify_and_prune_jit = jax.jit(
@@ -259,6 +259,10 @@ class Trainer:
         self.iteration = 0
         self.ema_loss = 0.0
         self.last_loss = 0.0
+        # capacity-pressure counters — "counted, never silent" (binning
+        # contract): instances dropped by max_instances / aligned_cap
+        self.total_overflow = 0
+        self.total_truncated = 0
         self._pending_losses = []
         self._it_dev = None
         self.key = jax.random.PRNGKey(self.seed)
@@ -413,20 +417,35 @@ class Trainer:
         # `torch::cuda::synchronize`, gaussian_mapper.cpp:416 — cheap on a
         # local GPU, 100+ ms on a tunneled device). The EMA folds in lazily
         # at the next log/record point; steps stay async-dispatched.
-        self._pending_losses.append(aux["loss"])
+        self._pending_losses.append(
+            (aux["loss"], aux["overflow"], aux["truncated"])
+        )
         if len(self._pending_losses) > 512:
             self.drain_losses()
         return aux
 
     def drain_losses(self) -> float:
         """Fold queued device-side losses into the host EMA (0.4/0.6 like
-        `gaussian_mapper.cpp:420`); returns the most recent loss."""
+        `gaussian_mapper.cpp:420`) and total the capacity-pressure counters;
+        returns the most recent loss."""
         if self._pending_losses:
             pend, self._pending_losses = self._pending_losses, []
-            for x in pend:
+            for x, ov, tr in pend:
                 for v in np.atleast_1d(np.asarray(x)).tolist():
                     self.last_loss = v
                     self.ema_loss = 0.4 * v + 0.6 * self.ema_loss
+                self.total_overflow += int(ov)
+                self.total_truncated += int(tr)
+            if self.total_overflow or self.total_truncated:
+                import warnings
+
+                warnings.warn(
+                    "capacity pressure: "
+                    f"{self.total_truncated} instances truncated / "
+                    f"{self.total_overflow} overflowed so far — raise "
+                    "Tpu.max_instances / Tpu.aligned_cap",
+                    stacklevel=2,
+                )
         return self.last_loss
 
     # -- fused multi-step windows --
@@ -454,14 +473,27 @@ class Trainer:
         return min(events)
 
     def _ensure_banks(self):
-        """Device-resident (V, ...) pose and GT banks for fused windows."""
-        if getattr(self, "_banks", None) is not None:
-            return
+        """(V, ...) pose and GT banks for fused windows. Invalidated when the
+        keyframe set changes (`increasePcd`-style mid-training inserts). The
+        GT bank lives on device only while it fits `Tpu.gt_bank_mb`; above
+        that it stays host-side and each window uploads just its sampled
+        rows (bounded memory, one extra H2D per window)."""
         fids = sorted(self.scene.keyframes)
+        if (
+            getattr(self, "_banks", None) is not None
+            and self._banks_fids == fids
+        ):
+            return
+        self._banks_fids = fids
         kfs = [self.scene.keyframes[f] for f in fids]
         vms = jnp.asarray(np.stack([k.viewmatrix for k in kfs]))
         cps = jnp.asarray(np.stack([k.campos for k in kfs]))
-        gts = jnp.stack([self._gt(k) for k in kfs])
+        c = kfs[0].camera
+        gt_bytes = len(kfs) * 3 * c.height * c.width * 4
+        if gt_bytes <= self.config.tpu.gt_bank_mb * (1 << 20):
+            gts = jnp.stack([self._gt(k) for k in kfs])
+        else:
+            gts = np.stack([np.asarray(k.image).transpose(2, 0, 1) for k in kfs])
         self._banks = ({f: i for i, f in enumerate(fids)}, vms, cps, gts)
 
     def train_window(self, max_steps: int) -> int:
@@ -488,7 +520,7 @@ class Trainer:
             if cfg.opt.skip_bottom_ratio > 0
             else 0
         )
-        self.model, self.opt_state, losses = train_steps_fused(
+        self.model, self.opt_state, (losses, overflow, truncated) = train_steps_fused(
             self.model,
             self.opt_state,
             vms[rows],
@@ -507,7 +539,9 @@ class Trainer:
         )
         self.iteration = it + k
         self._it_dev = None  # resync the single-step device counter
-        self._pending_losses.append(losses)
+        self._pending_losses.append((losses, overflow, truncated))
+        if len(self._pending_losses) > 512:
+            self.drain_losses()
         return k
 
     # -- full-state checkpointing (beyond the reference's model-only PLY) --
@@ -546,11 +580,17 @@ class Trainer:
                 self.train_iteration()
             if log_every and self.iteration % log_every == 0:
                 self.drain_losses()
+                pressure = (
+                    f" truncated={self.total_truncated}"
+                    f" overflow={self.total_overflow}"
+                    if self.total_truncated or self.total_overflow
+                    else ""
+                )
                 print(
                     f"iter {self.iteration}: loss={self.last_loss:.4f} "
                     f"ema={self.ema_loss:.4f} "
                     f"n_active={int(self.model.num_active)} "
-                    f"({(time.time() - t0):.1f}s)",
+                    f"({(time.time() - t0):.1f}s)" + pressure,
                     flush=True,
                 )
         return self.model

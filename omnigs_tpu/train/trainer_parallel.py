@@ -49,12 +49,12 @@ class ParallelTrainer:
         else:
             self.camera = next(iter(self.scene.keyframes.values())).camera
         _, self.cameras_extent = self.scene.nerfpp_norm()
-        self.raster_cfg = RasterConfig(
-            max_instances=cfg.tpu.max_instances,
-            tile_cap=cfg.tpu.tile_cap,
-            chunk=cfg.tpu.chunk,
-            tight_culling=cfg.tpu.tight_culling,
-        )
+        from omnigs_tpu.config import raster_config_from
+
+        # single source of truth for Tpu.* → RasterConfig (ADVICE r1: this
+        # previously hand-built an XLA-backend config, making the sharded
+        # Pallas path unreachable from this entry point)
+        self.raster_cfg = raster_config_from(cfg)
         self.lr_cfg = opt_ops.LRConfig(
             position_lr_init=cfg.opt.position_lr_init,
             position_lr_final=cfg.opt.position_lr_final,
@@ -72,6 +72,8 @@ class ParallelTrainer:
         self.iteration = 0
         self.ema_loss = 0.0
         self.last_loss = 0.0
+        self.total_overflow = 0
+        self.total_truncated = 0
         self._pending_losses = []
         self.key = jax.random.PRNGKey(self.seed)
         self._steps = {}
@@ -165,9 +167,10 @@ class ParallelTrainer:
             update_stats=in_densify_phase,
             do_adam=not do_densify and it < cfg.opt.max_num_iterations,
         )
-        self.model, self.opt_state, loss = step(
+        self.model, self.opt_state, aux = step(
             self.model, self.opt_state, vms, cps, gts, jnp.asarray(it)
         )
+        loss = aux["loss"]
 
         if do_densify:
             if self._densify is None:
@@ -197,16 +200,30 @@ class ParallelTrainer:
 
         # lazy loss fetch (see Trainer.drain_losses): a float() here would
         # sync the whole mesh every iteration
-        self._pending_losses.append(loss)
+        self._pending_losses.append(
+            (loss, aux["overflow"], aux["truncated"])
+        )
         if len(self._pending_losses) > 512:
             self.drain_losses()
         return loss
 
     def drain_losses(self) -> float:
         if self._pending_losses:
-            vals = [float(x) for x in self._pending_losses]
-            self._pending_losses.clear()
-            for v in vals:
+            pend, self._pending_losses = self._pending_losses, []
+            for x, ov, tr in pend:
+                v = float(x)
                 self.last_loss = v
                 self.ema_loss = 0.4 * v + 0.6 * self.ema_loss
+                self.total_overflow += int(ov)
+                self.total_truncated += int(tr)
+            if self.total_truncated or self.total_overflow:
+                import warnings
+
+                warnings.warn(
+                    "capacity pressure: "
+                    f"{self.total_truncated} instances truncated / "
+                    f"{self.total_overflow} overflowed so far — raise "
+                    "Tpu.max_instances / Tpu.aligned_cap",
+                    stacklevel=2,
+                )
         return self.last_loss

@@ -98,8 +98,8 @@ def test_sharded_pallas_train_step_runs():
         jax.device_put(cps, dspec),
         jax.device_put(gts, dspec),
     )
-    m2, o2, loss = step_fn(model_d, opt_d, vms, cps, gts, jnp.asarray(1))
-    assert bool(jnp.isfinite(loss))
+    m2, o2, aux = step_fn(model_d, opt_d, vms, cps, gts, jnp.asarray(1))
+    assert bool(jnp.isfinite(aux["loss"]))
     # parameters actually moved
     assert float(jnp.abs(m2.xyz - model.xyz).max()) > 0
 
@@ -138,10 +138,10 @@ def test_sharded_train_step_runs_and_reduces_loss():
     )
     losses = []
     for it in range(8):
-        model, opt_state, loss = step(
+        model, opt_state, aux = step(
             model, opt_state, vms, cps, gts, jnp.asarray(it + 1)
         )
-        losses.append(float(loss))
+        losses.append(float(aux["loss"]))
         assert np.isfinite(losses[-1])
     assert losses[-1] < losses[0], losses
     # stats accumulated over both views
@@ -202,7 +202,7 @@ def test_sharded_grads_match_single_chip():
     dspec = NamedSharding(mesh, P(DATA_AXIS))
     m_sh = jax.device_put(model, gspec)
     o_sh = jax.device_put(opt_state, ospec)
-    _, _, loss = step(
+    _, _, aux = step(
         m_sh,
         o_sh,
         jax.device_put(vms, dspec),
@@ -211,7 +211,7 @@ def test_sharded_grads_match_single_chip():
         jnp.asarray(1),
     )
     np.testing.assert_allclose(
-        float(loss), float(single_loss(model.params())), rtol=1e-4
+        float(aux["loss"]), float(single_loss(model.params())), rtol=1e-4
     )
     # sanity on the reference grads themselves
     for k, v in g_ref.items():
