@@ -61,6 +61,30 @@ def main():
     dt = (time.perf_counter() - t0) / n_iter
 
     pixels_per_s = W * H / dt
+
+    # composited depth for the roofline bound (one extra binning pass)
+    from omnigs_tpu.ops.binning import bin_instances
+    from omnigs_tpu.ops.preprocess import preprocess, tile_grid
+    from omnigs_tpu.utils.profiling import roofline_report
+
+    gx, gy = tile_grid(camera)
+    m = model
+    prep = jax.jit(
+        lambda: preprocess(
+            m.xyz,
+            jnp.exp(m.scaling),
+            m.rotation / jnp.linalg.norm(m.rotation, axis=-1, keepdims=True),
+            jax.nn.sigmoid(m.opacity[:, 0]),
+            jnp.concatenate([m.features_dc, m.features_rest], axis=1),
+            camera, vm, campos, 3, tight_culling=True,
+        )
+    )()
+    inst = jax.jit(
+        lambda p: bin_instances(p, gx, gy, cfg.max_instances, tile_cull=True)
+    )(prep)
+    mean_depth = float(jnp.sum(inst.counts)) / (gx * gy)
+    roof = roofline_report(W * H, dt, mean_depth)
+
     baseline = 8.3e7  # 3090-class fwd+bwd px/s estimate (see docstring)
     print(
         json.dumps(
@@ -69,6 +93,10 @@ def main():
                 "value": round(pixels_per_s, 1),
                 "unit": "pixels/s",
                 "vs_baseline": round(pixels_per_s / baseline, 4),
+                "mean_instances_per_tile": round(mean_depth, 1),
+                "fraction_of_roofline": round(
+                    roof["fraction_of_roofline"], 4
+                ),
             }
         )
     )

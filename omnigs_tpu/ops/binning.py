@@ -81,6 +81,75 @@ def _sorted_histogram(keys: jnp.ndarray, num_bins: int) -> jnp.ndarray:
     return edges[1:] - edges[:-1]
 
 
+MASK_TILES = 64  # pre-emission survivor bitmask width (2 int32 words)
+
+
+def _precull_masks(prep: Preprocessed, grid_x: int):
+    """Per-Gaussian 64-bit bitmask of rect tiles that survive the exact
+    ellipse–box cull, plus the surviving count.
+
+    Evaluating the cull at the Gaussian level (P rows) instead of on emitted
+    instances (R rows) lets the emission budget itself shrink by the culled
+    fraction — the expansion gather, the sort, and the histogram all scale
+    with R. Gaussians covering more than MASK_TILES tiles get an all-ones
+    mask (emit-all; the in-expansion test still culls their instances), which
+    also makes the k-th-set-bit mapping the identity for them.
+    """
+    from omnigs_tpu.ops.preprocess import TILE
+
+    rect = prep.rect
+    x0, y0 = rect[:, 0], rect[:, 1]
+    width = jnp.maximum(rect[:, 2] - x0, 1)
+    area = prep.tiles_touched  # rect area for emitted Gaussians, 0 if culled
+    mx, my = prep.means2d[:, 0], prep.means2d[:, 1]
+    cA, cB, cC = prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2]
+    op = prep.opacity
+    lo = jnp.zeros(x0.shape, jnp.int32)
+    hi = jnp.zeros(x0.shape, jnp.int32)
+    for b in range(MASK_TILES):
+        tx = x0 + jnp.remainder(b, width)
+        ty = y0 + b // width
+        px0 = (tx * TILE).astype(jnp.float32)
+        py0 = (ty * TILE).astype(jnp.float32)
+        qmin = _min_quad_over_box(
+            cA, cB, cC,
+            px0 - mx, px0 + (TILE - 1) - mx,
+            py0 - my, py0 + (TILE - 1) - my,
+        )
+        keep = (b < area) & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
+        bit = keep.astype(jnp.int32) << (b % 32)
+        if b < 32:
+            lo = lo | bit
+        else:
+            hi = hi | bit
+    big = area > MASK_TILES
+    lo = jnp.where(big, -1, lo)
+    hi = jnp.where(big, -1, hi)
+    count = jax.lax.population_count(lo) + jax.lax.population_count(hi)
+    tiles_eff = jnp.where(big, area, count).astype(jnp.int32)
+    return lo, hi, tiles_eff
+
+
+def _kth_set_bit(lo: jnp.ndarray, hi: jnp.ndarray, k: jnp.ndarray):
+    """Position of the k-th (0-based, ascending) set bit of the 64-bit mask
+    (lo, hi) — 5-step binary search on popcounts, fully vectorized. For an
+    all-ones mask this is the identity (k), which unifies the emit-all path.
+    Arithmetic right shifts are safe: sign-extension bits sit above every
+    low-window popcount inspected afterwards."""
+    nlo = jax.lax.population_count(lo)
+    use_hi = k >= nlo
+    word = jnp.where(use_hi, hi, lo)
+    kk = jnp.where(use_hi, k - nlo, k)
+    b = jnp.where(use_hi, 32, 0)
+    for shift in (16, 8, 4, 2, 1):
+        cnt = jax.lax.population_count(word & ((1 << shift) - 1))
+        go = kk >= cnt
+        word = jnp.where(go, word >> shift, word)
+        kk = jnp.where(go, kk - cnt, kk)
+        b = b + jnp.where(go, shift, 0)
+    return b
+
+
 def bin_instances(
     prep: Preprocessed,
     grid_x: int,
@@ -109,7 +178,13 @@ def bin_instances(
     `bin_instances_aligned` for the exactness argument).
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
-    tiles = prep.tiles_touched.astype(jnp.int32)
+    if tile_cull:
+        # pre-emission exact culling: only *surviving* (gaussian, tile)
+        # pairs are emitted, so max_instances can be sized to the survivor
+        # count (~half the rect-cover count on real scenes)
+        mlo, mhi, tiles = _precull_masks(prep, grid_x)
+    else:
+        tiles = prep.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(tiles) - tiles  # exclusive prefix sum
     total = offsets[-1] + tiles[-1]
 
@@ -123,7 +198,8 @@ def bin_instances(
     # bitcast: int32 bits < 2^23 are f32 denormals, which the TPU transpose
     # below flushes to zero): a standalone 1-D ``offsets[g]`` gather lowers
     # to the TPU scalar path and costs ~45 ms at 2M instances; as a table
-    # column it is free.
+    # column it is free. The survivor bitmasks ride as four 16-bit-valued
+    # f32 columns (0..65535 — exact, and never denormal) for the same reason.
     assert max_instances < 1 << 24, "offsets ride an f32 column exactly"
     parts = [
         prep.rect.astype(jnp.float32),
@@ -131,7 +207,20 @@ def bin_instances(
         offsets.astype(jnp.float32)[:, None],
     ]
     if tile_cull:
-        parts += [prep.means2d, prep.conic, prep.opacity[:, None]]
+        parts += [
+            jnp.stack(
+                [
+                    (mlo & 0xFFFF).astype(jnp.float32),
+                    ((mlo >> 16) & 0xFFFF).astype(jnp.float32),
+                    (mhi & 0xFFFF).astype(jnp.float32),
+                    ((mhi >> 16) & 0xFFFF).astype(jnp.float32),
+                ],
+                axis=-1,
+            ),
+            prep.means2d,
+            prep.conic,
+            prep.opacity[:, None],
+        ]
     table = jnp.concatenate(parts, axis=-1)
     ncol = table.shape[1]
     # column-major flatten forces one physical transpose so the per-column
@@ -146,16 +235,27 @@ def bin_instances(
     y0 = cols[1].astype(jnp.int32)
     width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
     local = j - cols[5].astype(jnp.int32)
-    tx = x0 + local % width
-    ty = y0 + local // width
+    if tile_cull:
+        # local k → k-th surviving rect tile (identity for emit-all masks)
+        lo_m = cols[6].astype(jnp.int32) | (cols[7].astype(jnp.int32) << 16)
+        hi_m = cols[8].astype(jnp.int32) | (cols[9].astype(jnp.int32) << 16)
+        b = jnp.where(
+            local < MASK_TILES, _kth_set_bit(lo_m, hi_m, local), local
+        )
+    else:
+        b = local
+    tx = x0 + b % width
+    ty = y0 + b // width
     tile_id = ty * grid_x + tx - tile_lo  # window-local tile index
     keep = alive & (tile_id >= 0) & (tile_id < num_tiles)
     if tile_cull:
         from omnigs_tpu.ops.preprocess import TILE
 
-        mx, my = cols[6], cols[7]
-        cA, cB, cC = cols[8], cols[9], cols[10]
-        op = cols[11]
+        # re-test (exact for masked Gaussians — they pass by construction —
+        # and the only cull for >MASK_TILES emit-all Gaussians)
+        mx, my = cols[10], cols[11]
+        cA, cB, cC = cols[12], cols[13], cols[14]
+        op = cols[15]
         px0 = (tx * TILE).astype(jnp.float32)
         py0 = (ty * TILE).astype(jnp.float32)
         qmin = _min_quad_over_box(
@@ -275,7 +375,11 @@ def bin_instances_aligned(
     tile window entirely, so segments are sized by surviving counts.
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
-    tiles = prep.tiles_touched.astype(jnp.int32)
+    if tile_cull:
+        # pre-emission exact culling (see `bin_instances`)
+        mlo, mhi, tiles = _precull_masks(prep, grid_x)
+    else:
+        tiles = prep.tiles_touched.astype(jnp.int32)
     offsets = jnp.cumsum(tiles) - tiles
     total = offsets[-1] + tiles[-1]
 
@@ -290,7 +394,8 @@ def bin_instances_aligned(
     # value — NOT a bitcast: int32 bits < 2^23 are f32 denormals, which the
     # TPU transpose below flushes to zero. (A standalone 1-D ``offsets[g]``
     # gather lowers to the TPU scalar path: ~45 ms at 2M instances; as a
-    # table column it is free.)
+    # table column it is free.) Survivor bitmasks ride as four 16-bit-valued
+    # f32 columns for the same reason.
     assert max_instances < 1 << 24, "offsets ride an f32 column exactly"
     j = jnp.arange(max_instances, dtype=jnp.int32)
     g = jnp.clip(_owner_of_slot(offsets, max_instances), 0, tiles.shape[0] - 1)
@@ -301,7 +406,20 @@ def bin_instances_aligned(
         offsets.astype(jnp.float32)[:, None],
     ]
     if tile_cull:
-        parts += [prep.means2d, prep.conic, prep.opacity[:, None]]
+        parts += [
+            jnp.stack(
+                [
+                    (mlo & 0xFFFF).astype(jnp.float32),
+                    ((mlo >> 16) & 0xFFFF).astype(jnp.float32),
+                    (mhi & 0xFFFF).astype(jnp.float32),
+                    ((mhi >> 16) & 0xFFFF).astype(jnp.float32),
+                ],
+                axis=-1,
+            ),
+            prep.means2d,
+            prep.conic,
+            prep.opacity[:, None],
+        ]
     table = jnp.concatenate(parts, axis=-1)
     ncol = table.shape[1]
     # column-major flatten forces ONE physical transpose: XLA pads the minor
@@ -316,17 +434,27 @@ def bin_instances_aligned(
     x0 = cols[0].astype(jnp.int32)
     width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
     local = j - cols[5].astype(jnp.int32)
-    tx = x0 + local % width
-    ty = cols[1].astype(jnp.int32) + local // width
+    if tile_cull:
+        lo_m = cols[6].astype(jnp.int32) | (cols[7].astype(jnp.int32) << 16)
+        hi_m = cols[8].astype(jnp.int32) | (cols[9].astype(jnp.int32) << 16)
+        b = jnp.where(
+            local < MASK_TILES, _kth_set_bit(lo_m, hi_m, local), local
+        )
+    else:
+        b = local
+    tx = x0 + b % width
+    ty = cols[1].astype(jnp.int32) + b // width
     tile_id = ty * grid_x + tx - tile_lo
     in_window = alive & (tile_id >= 0) & (tile_id < num_tiles)
     keep = in_window
     if tile_cull:
         from omnigs_tpu.ops.preprocess import TILE
 
-        mx, my = cols[6], cols[7]
-        cA, cB, cC = cols[8], cols[9], cols[10]
-        op = cols[11]
+        # re-test (exact for masked Gaussians — they pass by construction —
+        # and the only cull for >MASK_TILES emit-all Gaussians)
+        mx, my = cols[10], cols[11]
+        cA, cB, cC = cols[12], cols[13], cols[14]
+        op = cols[15]
         px0 = (tx * TILE).astype(jnp.float32)
         py0 = (ty * TILE).astype(jnp.float32)
         qmin = _min_quad_over_box(

@@ -163,7 +163,43 @@ def main():
             f"grad[{k}] compact-vs-ghost rel err: {gerr:.2e}  "
             f"({'OK' if this_ok else 'FAIL'})"
         )
-    sys.exit(0 if (ok and xok and gok and pok) else 1)
+
+    # Committed golden arrays (tests/goldens/*.npz, pinned from the oracle)
+    # checked with the COMPILED Pallas kernels on chip — the on-hardware leg
+    # of tests/test_goldens.py (interpret mode can pass while compiled
+    # Mosaic diverges).
+    import numpy as np
+
+    golden_dir = _Path(__file__).resolve().parent.parent / "tests" / "goldens"
+    golden_ok = True
+    for fname, gw, gh, gdeg in (
+        ("simple_cloud.npz", 512, 256, 0),
+        ("random_cloud.npz", 256, 128, 3),
+    ):
+        data = np.load(golden_dir / fname)
+        gcam = Camera(CameraType.LONLAT, gw, gh)
+        gcfg = RasterConfig(
+            max_instances=1 << 15, backend="pallas", tile_culling=True,
+        )
+        args = tuple(
+            jnp.asarray(data[f"in_{k}"])
+            for k in ("means3d", "scales", "quats", "opacities", "shs")
+        )
+        res = jax.jit(
+            lambda *a: rasterize(
+                *a, camera=gcam, viewmatrix=jnp.eye(4), campos=jnp.zeros(3),
+                bg=jnp.array([0.1, 0.2, 0.3]), sh_degree=gdeg, config=gcfg,
+            )
+        )(*args)
+        goerr = float(jnp.abs(res.image - jnp.asarray(data["image"])).max())
+        this_ok = goerr < 1e-3
+        golden_ok = golden_ok and this_ok
+        print(
+            f"golden[{fname}] on-chip max image error: {goerr:.6f}  "
+            f"({'OK' if this_ok else 'FAIL'})"
+        )
+
+    sys.exit(0 if (ok and xok and gok and pok and golden_ok) else 1)
 
 
 if __name__ == "__main__":
