@@ -57,6 +57,9 @@ def main():
         result_dir=out,
         name_suffix="_test",
         skip_bottom_ratio=cfg.opt.skip_bottom_ratio,
+        record_rendered_image=cfg.mapper.record_rendered_image,
+        record_ground_truth_image=cfg.mapper.record_ground_truth_image,
+        record_loss_image=cfg.mapper.record_loss_image,
     )
     print(means, flush=True)
 

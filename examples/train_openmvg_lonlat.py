@@ -100,6 +100,9 @@ def main():
                 tr.bg,
                 result_dir=out,
                 skip_bottom_ratio=cfg.opt.skip_bottom_ratio,
+                record_rendered_image=cfg.mapper.record_rendered_image,
+                record_ground_truth_image=cfg.mapper.record_ground_truth_image,
+                record_loss_image=cfg.mapper.record_loss_image,
             )
             print(f"eval @ {it}: {means}", flush=True)
             save_ply_checkpoint(tr.model, out, it)
@@ -118,6 +121,9 @@ def main():
         result_dir=out,
         name_suffix="_shutdown",
         skip_bottom_ratio=cfg.opt.skip_bottom_ratio,
+        record_rendered_image=cfg.mapper.record_rendered_image,
+        record_ground_truth_image=cfg.mapper.record_ground_truth_image,
+        record_loss_image=cfg.mapper.record_loss_image,
     )
     save_ply_checkpoint(tr.model, out, tr.iteration)
     print("done.", flush=True)

@@ -41,25 +41,27 @@ def main():
     )
 
     @jax.jit
-    def _render_color(vm, campos):
+    def _render_color(vm, campos, scale):
         # CHW -> HWC at the io boundary (the viewer encodes a PNG)
         return render_model(
-            model, camera, vm, campos, jnp.zeros(3), 3, cfg
+            model, camera, vm, campos, jnp.zeros(3), 3, cfg,
+            scale_modifier=scale,
         ).image.transpose(1, 2, 0)
 
     @jax.jit
-    def _render_depth(vm, campos):
+    def _render_depth(vm, campos, scale):
         res = render_model(
-            model, camera, vm, campos, jnp.zeros(3), 3, cfg, render_depth=True
+            model, camera, vm, campos, jnp.zeros(3), 3, cfg,
+            render_depth=True, scale_modifier=scale,
         )
         d = res.image[0]
         return jnp.repeat(
             (d / (jnp.max(d) + 1e-6))[..., None], 3, axis=-1
         )
 
-    def render_fn(vm, campos, mode):
+    def render_fn(vm, campos, mode, scale=1.0):
         f = _render_depth if mode == "depth" else _render_color
-        return f(jnp.asarray(vm), jnp.asarray(campos))
+        return f(jnp.asarray(vm), jnp.asarray(campos), jnp.asarray(scale))
 
     serve(render_fn, args.width, args.height, args.port)
 

@@ -50,6 +50,12 @@ class Camera:
     fy: float = 0.0
     cx: float = 0.0
     cy: float = 0.0
+    # Lens distortion coefficients in OpenCV order (k1, k2, p1, p2[, k3]).
+    # Images are undistorted at load time (`undistort_image`); rendering
+    # always works in the rectified model. Nonempty ⇒ an undistort mask is
+    # built and multiplied onto rendered images in loss/eval/viewer
+    # (reference `include/camera.h:86-125`, `gaussian_mapper.cpp:391`).
+    distortion: Tuple[float, ...] = ()
 
     @property
     def tan_fovx(self) -> float:
@@ -62,6 +68,46 @@ class Camera:
     @property
     def num_pixels(self) -> int:
         return self.width * self.height
+
+
+def init_undistort_map_and_mask(camera: "Camera"):
+    """Host-side undistort rectify maps + valid-pixel mask.
+
+    `Camera::initUndistortRectifyMapAndMask` analog
+    (`/root/reference/include/camera.h:71-111`): builds the cv2 remap tables
+    for the camera's distortion and derives the mask by remapping a white
+    image — fractional values at the warped border, exactly like the
+    reference. Returns (map1, map2, mask (H, W) float32) or (None, None,
+    None) when the camera has no distortion.
+    """
+    import cv2
+    import numpy as np
+
+    if not camera.distortion or not any(camera.distortion):
+        return None, None, None
+    K = np.array(
+        [
+            [camera.fx, 0.0, camera.cx],
+            [0.0, camera.fy, camera.cy],
+            [0.0, 0.0, 1.0],
+        ],
+        np.float32,
+    )
+    dist = np.asarray(camera.distortion, np.float32)
+    map1, map2 = cv2.initUndistortRectifyMap(
+        K, dist, np.eye(3, dtype=np.float32), K,
+        (camera.width, camera.height), cv2.CV_32FC1,
+    )
+    white = np.ones((camera.height, camera.width), np.float32)
+    mask = cv2.remap(white, map1, map2, cv2.INTER_LINEAR)
+    return map1, map2, mask
+
+
+def undistort_image(img, map1, map2):
+    """`Camera::undistortImage` analog (`include/camera.h:113-122`)."""
+    import cv2
+
+    return cv2.remap(img, map1, map2, cv2.INTER_LINEAR)
 
 
 def ndc2pix(v: jnp.ndarray, size: int) -> jnp.ndarray:

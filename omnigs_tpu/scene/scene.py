@@ -24,9 +24,36 @@ class Scene:
     keyframes: Dict[int, Keyframe] = dataclasses.field(default_factory=dict)
     points: Optional[np.ndarray] = None  # (N, 3)
     colors: Optional[np.ndarray] = None  # (N, 3) in [0, 1]
+    # per-camera undistort masks (reference `undistort_mask_[camera_id]`,
+    # `gaussian_mapper.cpp:391,786`): rendered images are multiplied by the
+    # mask in loss/eval/viewer; None for distortion-free cameras
+    undistort_masks: Dict[Camera, np.ndarray] = dataclasses.field(
+        default_factory=dict
+    )
 
     def add_keyframe(self, kf: Keyframe):
         self.keyframes[kf.fid] = kf
+
+    def build_undistort_masks(self):
+        """Build masks for every distorted camera (idempotent). Call after
+        cameras are registered — the loader analog of
+        `initUndistortRectifyMapAndMask` (`examples/train_360roam.cpp:186-196`)."""
+        from omnigs_tpu.cameras import init_undistort_map_and_mask
+
+        cams = set(self.cameras.values()) | {
+            kf.camera for kf in self.keyframes.values()
+        }
+        for cam in cams:
+            if cam.distortion and cam not in self.undistort_masks:
+                _, _, mask = init_undistort_map_and_mask(cam)
+                if mask is not None:
+                    self.undistort_masks[cam] = mask
+
+    def undistort_mask(self, camera: Camera) -> Optional[np.ndarray]:
+        """(H, W) float mask for this camera, or None (no distortion)."""
+        if camera.distortion and camera not in self.undistort_masks:
+            self.build_undistort_masks()
+        return self.undistort_masks.get(camera)
 
     def nerfpp_norm(self) -> Tuple[np.ndarray, float]:
         """(translate, radius): camera-centroid offset and 1.1× the max

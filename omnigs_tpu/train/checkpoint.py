@@ -41,9 +41,15 @@ def save_checkpoint(
 
 
 def load_checkpoint(
-    path: Path, capacity: int
+    path: Path, capacity: int, mesh=None
 ) -> Tuple[GaussianModel, AdamState, int, dict]:
-    """Restore. `capacity` must match the saved arrays' leading dim."""
+    """Restore. `capacity` must match the saved arrays' leading dim.
+
+    With ``mesh``, arrays restore directly INTO the (data, gauss) sharding
+    layout (Gaussian axis sharded, Adam count replicated) — each process of
+    a multi-host run reads only its own shards; no host materializes the
+    full state. Without it, plain host arrays (single-process resume).
+    """
     path = Path(path).resolve()
     template_model = GaussianModel.empty(capacity)
     from omnigs_tpu.model.optimizer import init_adam
@@ -54,7 +60,34 @@ def load_checkpoint(
         "iteration": np.asarray(0),
     }
     ckptr = ocp.PyTreeCheckpointer()
-    restored = ckptr.restore(path, item=template)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from omnigs_tpu.parallel.mesh import GAUSS_AXIS
+
+        gshard = NamedSharding(mesh, P(GAUSS_AXIS))
+        rshard = NamedSharding(mesh, P())
+
+        def _abs(x, shard):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=shard)
+
+        count = _abs(template["opt_state"].count, rshard)
+        template = {
+            "model": jax.tree_util.tree_map(
+                lambda x: _abs(x, gshard), template["model"]
+            ),
+            "opt_state": jax.tree_util.tree_map(
+                lambda x: _abs(x, gshard),
+                template["opt_state"].replace(count=None),
+            ).replace(count=count),
+            "iteration": np.asarray(0),
+        }
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+        restored = ckptr.restore(
+            path, item=template, restore_args=restore_args
+        )
+    else:
+        restored = ckptr.restore(path, item=template)
     extra = restored.get("extra", {}) if isinstance(restored, dict) else {}
     return (
         restored["model"],

@@ -59,8 +59,14 @@ def render_and_record_keyframe(
     raster_cfg: RasterConfig,
     bg: jnp.ndarray,
     skip_bottom_ratio: float = 0.0,
+    mask: Optional[np.ndarray] = None,
 ):
-    """One keyframe: timed render + metrics (`gaussian_mapper.cpp:734-806`)."""
+    """One keyframe: timed render + metrics (`gaussian_mapper.cpp:734-806`).
+
+    ``mask`` is the camera's undistort mask; like the reference it multiplies
+    the RENDERED image only (`gaussian_mapper.cpp:786`) — the ground truth
+    was undistorted at load. Returns (result, masked image, metrics).
+    """
     vm = jnp.asarray(kf.viewmatrix)
     campos = jnp.asarray(kf.campos)
     fn = _eval_render_jit(kf.camera, sh_degree, raster_cfg)
@@ -75,6 +81,8 @@ def render_and_record_keyframe(
     render_time_ms = (time.monotonic() - t0) * 1000.0
 
     image = res.image  # (3, H, W)
+    if mask is not None:
+        image = image * jnp.asarray(mask)
     gt = (
         jnp.asarray(kf.image).transpose(2, 0, 1)
         if kf.image is not None
@@ -92,7 +100,7 @@ def render_and_record_keyframe(
         metrics["psnr_gs"] = float(
             loss_ops.psnr_gaussian_splatting(image_c, gt_c)
         )
-    return res, metrics
+    return res, image, metrics
 
 
 def render_and_record_all_keyframes(
@@ -105,24 +113,43 @@ def render_and_record_all_keyframes(
     name_suffix: str = "",
     skip_bottom_ratio: float = 0.0,
     record_rendered_image: bool = True,
+    record_ground_truth_image: bool = False,
+    record_loss_image: bool = False,
 ) -> Dict[str, float]:
     """All keyframes; writes the reference's metric files
-    (`gaussian_mapper.cpp:808-857`). Returns mean metrics."""
+    (`gaussian_mapper.cpp:808-857`). The three record flags write the
+    rendered / ground-truth / |rendered − gt| images per keyframe like
+    `recordKeyframeRendered` (`gaussian_mapper.cpp:424,805,975-984`).
+    Returns mean metrics."""
     rows = []
     if result_dir is not None:
         result_dir = Path(result_dir)
         image_dir = result_dir / f"image{name_suffix}"
+        gt_dir = result_dir / f"image_gt{name_suffix}"
+        loss_dir = result_dir / f"image_loss{name_suffix}"
         if record_rendered_image:
             image_dir.mkdir(parents=True, exist_ok=True)
+        if record_ground_truth_image:
+            gt_dir.mkdir(parents=True, exist_ok=True)
+        if record_loss_image:
+            loss_dir.mkdir(parents=True, exist_ok=True)
 
     for fid in sorted(scene.keyframes):
         kf = scene.keyframes[fid]
-        res, m = render_and_record_keyframe(
-            model, kf, sh_degree, raster_cfg, bg, skip_bottom_ratio
+        res, masked, m = render_and_record_keyframe(
+            model, kf, sh_degree, raster_cfg, bg, skip_bottom_ratio,
+            mask=scene.undistort_mask(kf.camera),
         )
         rows.append((fid, m))
-        if result_dir is not None and record_rendered_image:
-            save_image(image_dir / f"{fid}.png", res.image)
+        if result_dir is not None:
+            if record_rendered_image:
+                save_image(image_dir / f"{fid}.png", masked)
+            gt = None if kf.image is None else np.asarray(kf.image)
+            if record_ground_truth_image and gt is not None:
+                save_image(gt_dir / f"{fid}.png", gt.transpose(2, 0, 1))
+            if record_loss_image and gt is not None:
+                diff = np.abs(np.asarray(masked) - gt.transpose(2, 0, 1))
+                save_image(loss_dir / f"{fid}.png", diff)
 
     if result_dir is not None:
         files = {

@@ -66,6 +66,7 @@ def train_step(
     campos: jnp.ndarray,
     gt_image: jnp.ndarray,
     step: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
     *,
     camera: Camera,
     sh_degree: int,
@@ -96,6 +97,10 @@ def train_step(
             means2d_ndc=ndc,
         )
         pred = res.image  # (3, H, W)
+        if mask is not None:
+            # undistort-mask multiply on the RENDERED image only — the GT is
+            # already undistorted/masked at load (`gaussian_mapper.cpp:391`)
+            pred = pred * mask
         gt = gt_image
         if skip_bottom_px > 0:
             pred = pred[:, :-skip_bottom_px]
@@ -157,6 +162,7 @@ def train_steps_fused(
     camposes: jnp.ndarray,  # (K, 3)
     gt_images: jnp.ndarray,  # (K, 3, H, W)
     step0: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,  # (H, W) — single-camera fused path
     *,
     camera: Camera,
     sh_degree: int,
@@ -190,6 +196,7 @@ def train_steps_fused(
             cp,
             gt,
             it,
+            mask,
             camera=camera,
             sh_degree=sh_degree,
             raster_cfg=raster_cfg,
@@ -269,6 +276,8 @@ class Trainer:
         self.model: Optional[GaussianModel] = None
         self.opt_state: Optional[opt_ops.AdamState] = None
         self._gt_cache: Dict[int, jnp.ndarray] = {}
+        # device-resident undistort masks per (camera, level width)
+        self._mask_cache: Dict[tuple, Optional[jnp.ndarray]] = {}
         # device-resident pose tensors per keyframe: re-uploading the same
         # 16 floats every iteration costs a host→device round trip per step
         # (expensive on remote/tunneled devices)
@@ -307,6 +316,24 @@ class Trainer:
             # channels-first (TPU lane-padding: see ops/loss.py)
             self._gt_cache[key] = jnp.asarray(img).transpose(2, 0, 1)
         return self._gt_cache[key]
+
+    def _mask(self, camera, level_camera=None) -> Optional[jnp.ndarray]:
+        """Device (H, W) undistort mask for this camera (and pyramid level),
+        or None. Per-level masks mirror `gaus_pyramid_undistort_mask_`
+        (`include/camera.h:96-108`)."""
+        lc = level_camera or camera
+        key = (camera, lc.width, lc.height)
+        if key not in self._mask_cache:
+            m = self.scene.undistort_mask(camera)
+            if m is None:
+                self._mask_cache[key] = None
+            else:
+                if (lc.width, lc.height) != (camera.width, camera.height):
+                    import cv2
+
+                    m = cv2.resize(np.asarray(m), (lc.width, lc.height))
+                self._mask_cache[key] = jnp.asarray(m)
+        return self._mask_cache[key]
 
     # -- the loop --
 
@@ -375,6 +402,7 @@ class Trainer:
             campos_dev,
             self._gt(kf, camera),
             self._it_dev,
+            self._mask(kf.camera, camera),
             camera=camera,
             sh_degree=self.sh_degree,
             raster_cfg=self.raster_cfg,
@@ -527,6 +555,7 @@ class Trainer:
             cps[rows],
             gts[rows],
             jnp.asarray(it),
+            self._mask(camera),
             camera=camera,
             sh_degree=self.sh_degree,
             raster_cfg=self.raster_cfg,
@@ -543,6 +572,59 @@ class Trainer:
         if len(self._pending_losses) > 512:
             self.drain_losses()
         return k
+
+    # -- live-tunable training parameters (`VariableParameters` analog,
+    #    `include/gaussian_mapper.h:80-98`, setter farm
+    #    `gaussian_mapper.cpp:986-1180`) --
+
+    VARIABLE_PARAMS = (
+        ("position_lr_init", "lr"),
+        ("feature_lr", "lr"),
+        ("opacity_lr", "lr"),
+        ("scaling_lr", "lr"),
+        ("rotation_lr", "lr"),
+        ("percent_dense", "opt"),
+        ("lambda_dssim", "opt"),
+        ("opacity_reset_interval", "opt"),
+        ("densify_grad_threshold", "opt"),
+        ("densification_interval", "opt"),
+        ("new_keyframe_times_of_use", "mapper"),
+    )
+
+    def get_variable_parameters(self) -> Dict[str, float]:
+        out = {}
+        for name, kind in self.VARIABLE_PARAMS:
+            if kind == "lr":
+                out[name] = getattr(self.lr_cfg, name)
+            elif kind == "opt":
+                out[name] = getattr(self.config.opt, name)
+            else:
+                out[name] = getattr(self.config.mapper, name)
+        return out
+
+    def set_variable_parameters(self, updates: Dict[str, float]):
+        """Apply live updates mid-training. Learning-rate changes rebuild
+        the (hashable, jit-static) LRConfig — one recompile per change, like
+        the reference's per-frame setter sweep but without the mutex farm
+        (the jitted step itself is pure)."""
+        lr_updates = {}
+        for name, val in updates.items():
+            kinds = dict(self.VARIABLE_PARAMS)
+            if name not in kinds:
+                raise KeyError(name)
+            kind = kinds[name]
+            if kind == "lr":
+                lr_updates[name] = type(getattr(self.lr_cfg, name))(val)
+            elif kind == "opt":
+                cur = getattr(self.config.opt, name)
+                setattr(self.config.opt, name, type(cur)(val))
+            else:
+                cur = getattr(self.config.mapper, name)
+                setattr(self.config.mapper, name, type(cur)(val))
+                if name == "new_keyframe_times_of_use":
+                    self.sampler.times_of_use = int(val)
+        if lr_updates:
+            self.lr_cfg = dataclasses.replace(self.lr_cfg, **lr_updates)
 
     # -- full-state checkpointing (beyond the reference's model-only PLY) --
 

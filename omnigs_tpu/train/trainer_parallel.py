@@ -26,7 +26,13 @@ from omnigs_tpu.model import optimizer as opt_ops
 from omnigs_tpu.model.gaussians import from_pcd
 from omnigs_tpu.ops.knn import mean_sq_knn_dist
 from omnigs_tpu.ops.rasterize import RasterConfig
-from omnigs_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS, make_mesh
+from omnigs_tpu.parallel.distributed import (
+    data_batch,
+    local_data_rows,
+    make_global_mesh,
+    replicate_from_host,
+)
+from omnigs_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
 from omnigs_tpu.parallel.shard import (
     make_sharded_densify,
     make_sharded_train_step,
@@ -42,8 +48,15 @@ class ParallelTrainer:
 
     def __post_init__(self):
         cfg = self.config
-        self.mesh = make_mesh(data=cfg.tpu.mesh_data, gauss=cfg.tpu.mesh_gauss)
+        # process-spanning mesh: with jax.distributed initialized this
+        # covers every host's devices (data axis outermost → DCN)
+        self.mesh = make_global_mesh(
+            data=cfg.tpu.mesh_data, gauss=cfg.tpu.mesh_gauss
+        )
         self.n_data = self.mesh.shape[DATA_AXIS]
+        # data rows this process owns — the only rows whose GT images it
+        # ever touches (host-local data loading)
+        self.local_rows = local_data_rows(self.mesh)
         if self.scene.cameras:
             self.camera = next(iter(self.scene.cameras.values()))
         else:
@@ -90,14 +103,17 @@ class ParallelTrainer:
         d2 = mean_sq_knn_dist(pts)
         model = from_pcd(pts, cols, self.config.tpu.capacity, d2)
         opt_state = opt_ops.init_adam(model.params())
-        gspec = jax.tree_util.tree_map(
-            lambda _: NamedSharding(self.mesh, P(GAUSS_AXIS)), model
+        # every process builds the same initial state from the (replicated)
+        # SfM cloud; placement goes through make_array_from_callback, which
+        # unlike device_put accepts process-spanning shardings
+        self.model = jax.tree_util.tree_map(
+            lambda x: replicate_from_host(self.mesh, x, P(GAUSS_AXIS)), model
         )
-        self.model = jax.device_put(model, gspec)
-        ospec = jax.tree_util.tree_map(
-            lambda _: NamedSharding(self.mesh, P(GAUSS_AXIS)), opt_state
-        ).replace(count=NamedSharding(self.mesh, P()))
-        self.opt_state = jax.device_put(opt_state, ospec)
+        count = replicate_from_host(self.mesh, opt_state.count)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda x: replicate_from_host(self.mesh, x, P(GAUSS_AXIS)),
+            opt_state.replace(count=None),
+        ).replace(count=count)
 
     @property
     def sh_degree(self) -> int:
@@ -152,23 +168,24 @@ class ParallelTrainer:
             and it % cfg.opt.opacity_reset_interval == 0
         )
 
-        dspec = NamedSharding(self.mesh, P(DATA_AXIS))
-        vms = jax.device_put(
-            jnp.stack([jnp.asarray(kf.viewmatrix) for kf in kfs]), dspec
+        # the sampler sequence is identical on every process (same seed);
+        # each process materializes ONLY its own data rows — GT bytes never
+        # cross hosts, gradients do (psum over the data axis)
+        lr = self.local_rows
+        vms = data_batch(
+            self.mesh, np.stack([np.asarray(kfs[d].viewmatrix) for d in lr])
         )
-        cps = jax.device_put(
-            jnp.stack([jnp.asarray(kf.campos) for kf in kfs]), dspec
+        cps = data_batch(
+            self.mesh, np.stack([np.asarray(kfs[d].campos) for d in lr])
         )
-        gts = jax.device_put(
-            jnp.stack([jnp.asarray(self._gt(kf)) for kf in kfs]), dspec
-        )
+        gts = data_batch(self.mesh, np.stack([self._gt(kfs[d]) for d in lr]))
 
         step = self._step_fn(
             update_stats=in_densify_phase,
             do_adam=not do_densify and it < cfg.opt.max_num_iterations,
         )
         self.model, self.opt_state, aux = step(
-            self.model, self.opt_state, vms, cps, gts, jnp.asarray(it)
+            self.model, self.opt_state, vms, cps, gts, np.int32(it)
         )
         loss = aux["loss"]
 
@@ -188,7 +205,7 @@ class ParallelTrainer:
                 )
             self.key, sub = jax.random.split(self.key)
             self.model, self.opt_state, _ = self._densify(
-                self.model, self.opt_state, sub, jnp.asarray(it)
+                self.model, self.opt_state, np.asarray(sub), np.int32(it)
             )
 
         if do_reset:
@@ -206,6 +223,21 @@ class ParallelTrainer:
         if len(self._pending_losses) > 512:
             self.drain_losses()
         return loss
+
+    # -- sharded full-state checkpointing --
+
+    def save_checkpoint(self, path):
+        from omnigs_tpu.train.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.model, self.opt_state, self.iteration)
+
+    def load_checkpoint(self, path):
+        """Restore directly into the mesh layout (sharded orbax read)."""
+        from omnigs_tpu.train.checkpoint import load_checkpoint
+
+        self.model, self.opt_state, self.iteration, _ = load_checkpoint(
+            path, self.config.tpu.capacity, mesh=self.mesh
+        )
 
     def drain_losses(self) -> float:
         if self._pending_losses:

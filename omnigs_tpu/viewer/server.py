@@ -5,9 +5,11 @@ The reference viewer runs an OpenGL loop on a GPU desktop, calling
 `GaussianMapper::renderFromPose` per frame (`imgui_viewer.cpp:260-261`);
 TPU hosts are headless, so this serves the same render-from-pose loop over
 HTTP: a stdlib server + vanilla-JS page with WASD/drag SE(3) navigation,
-color/depth display modes, and live scale-modifier control (the
-`VariableParameters` analog). Rendering happens on-device via
-`render_model`; frames ship as JPEG.
+color/depth display modes, live scale-modifier control, undistort-mask
+application (`gaussian_mapper.cpp:726-731`), and — when attached to a live
+trainer — the `VariableParameters` editor (`include/gaussian_mapper.h:80-98`,
+sliders `viewer/imgui_viewer.cpp:299-311`) over the /params endpoint.
+Rendering happens on-device via `render_model`; frames ship as JPEG.
 """
 
 from __future__ import annotations
@@ -27,10 +29,28 @@ body{margin:0;background:#111;color:#eee;font-family:monospace}
 #hud{position:fixed;top:8px;left:8px;background:#0008;padding:8px}
 img{display:block;margin:auto;image-rendering:pixelated}
 </style></head><body>
-<div id="hud">WASD+QE move &middot; drag look &middot; [m] mode &middot; fps <span id="fps">-</span></div>
+<div id="hud">WASD+QE move &middot; drag look &middot; [m] mode &middot; fps <span id="fps">-</span><br>
+scale <input type="range" id="scale" min="0.05" max="2.0" step="0.05" value="1.0" style="width:120px">
+<span id="scaleval">1.00</span><div id="params"></div></div>
 <img id="view" width="%WIDTH%" height="%HEIGHT%">
 <script>
 let yaw=0, pitch=0, pos=[0,0,0], mode="color", busy=false, last=performance.now();
+let scale=1.0;
+const sl=document.getElementById("scale"), sv=document.getElementById("scaleval");
+sl.oninput=()=>{scale=parseFloat(sl.value); sv.textContent=scale.toFixed(2)};
+// live training parameters (VariableParameters analog): populated when the
+// server is attached to a trainer
+fetch('/params').then(r=>r.json()).then(p=>{
+  const div=document.getElementById("params");
+  for(const k in p){
+    const row=document.createElement("div");
+    row.innerHTML=`${k} <input size=9 id="p_${k}" value="${p[k]}">`;
+    div.appendChild(row);
+    row.querySelector("input").onchange=e=>{
+      fetch('/params',{method:'POST',body:JSON.stringify({[k]:parseFloat(e.target.value)})});
+    };
+  }
+}).catch(()=>{});
 const img=document.getElementById("view"), fps=document.getElementById("fps");
 const keys={};
 onkeydown=e=>{keys[e.key.toLowerCase()]=1; if(e.key=='m') mode=(mode=="color")?"depth":"color";};
@@ -52,7 +72,7 @@ async function loop(){
   if(!busy){
     busy=true;
     try{
-      const r=await fetch('/render',{method:'POST',body:JSON.stringify({yaw,pitch,pos,mode})});
+      const r=await fetch('/render',{method:'POST',body:JSON.stringify({yaw,pitch,pos,mode,scale})});
       const b=await r.blob();
       img.src=URL.createObjectURL(b);
       const now=performance.now(); fps.textContent=(1000/(now-last)).toFixed(1); last=now;
@@ -68,10 +88,19 @@ class ViewerState:
     """renderFromPose bridge (`src/gaussian_mapper.cpp:656-732`): the render
     callback runs under a lock so a live trainer can share the model."""
 
-    def __init__(self, render_fn, width: int, height: int):
-        self.render_fn = render_fn  # (viewmatrix, campos, mode) -> HxWx3 f32
+    def __init__(self, render_fn, width: int, height: int, mask=None,
+                 params_get=None, params_set=None):
+        # render_fn(viewmatrix, campos, mode, scale) -> HxWx3 f32
+        self.render_fn = render_fn
         self.width = width
         self.height = height
+        # undistort mask, multiplied onto every served frame
+        # (`gaussian_mapper.cpp:726-731`)
+        self.mask = None if mask is None else np.asarray(mask)
+        # live-tuning bridge: () -> dict / (dict) -> None (trainer's
+        # get/set_variable_parameters)
+        self.params_get = params_get
+        self.params_set = params_set
         self.lock = threading.Lock()
 
 
@@ -95,6 +124,11 @@ def make_handler(state: ViewerState):
             pass
 
         def do_GET(self):
+            if self.path == "/params":
+                self._send_json(
+                    {} if state.params_get is None else state.params_get()
+                )
+                return
             page = _PAGE.replace("%WIDTH%", str(state.width)).replace(
                 "%HEIGHT%", str(state.height)
             )
@@ -105,15 +139,35 @@ def make_handler(state: ViewerState):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_json(self, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_POST(self):
             n = int(self.headers.get("Content-Length", 0))
             req = json.loads(self.rfile.read(n) or "{}")
+            if self.path == "/params":
+                if state.params_set is not None:
+                    with state.lock:
+                        state.params_set(req)
+                self._send_json({"ok": True})
+                return
             vm, campos = _pose_to_viewmatrix(
                 req.get("yaw", 0.0), req.get("pitch", 0.0), req.get("pos", [0, 0, 0])
             )
             with state.lock:
-                img = state.render_fn(vm, campos, req.get("mode", "color"))
-            arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+                img = state.render_fn(
+                    vm, campos, req.get("mode", "color"),
+                    float(req.get("scale", 1.0)),
+                )
+            img = np.asarray(img)
+            if state.mask is not None:
+                img = img * state.mask[..., None]
+            arr = np.clip(img * 255.0, 0, 255).astype(np.uint8)
             from PIL import Image
 
             buf = io.BytesIO()
@@ -128,9 +182,12 @@ def make_handler(state: ViewerState):
     return Handler
 
 
-def serve(render_fn, width: int, height: int, port: int = 8000):
-    """Blocking viewer server. `render_fn(viewmatrix, campos, mode)`."""
-    state = ViewerState(render_fn, width, height)
+def serve(render_fn, width: int, height: int, port: int = 8000,
+          mask=None, params_get=None, params_set=None):
+    """Blocking viewer server. `render_fn(viewmatrix, campos, mode, scale)`.
+    Pass a trainer's get/set_variable_parameters as params_get/params_set to
+    enable live hyperparameter tuning from the page."""
+    state = ViewerState(render_fn, width, height, mask, params_get, params_set)
     httpd = ThreadingHTTPServer(("0.0.0.0", port), make_handler(state))
     print(f"viewer listening on http://0.0.0.0:{port}", flush=True)
     httpd.serve_forever()

@@ -23,7 +23,7 @@ def test_viewer_serves_page_and_frames():
     model = _model()
     cfg = RasterConfig(max_instances=1 << 12, tile_cap=64, chunk=8)
 
-    def render_fn(vm, campos, mode):
+    def render_fn(vm, campos, mode, scale=1.0):
         res = render_model(
             model,
             camera,
@@ -33,10 +33,17 @@ def test_viewer_serves_page_and_frames():
             2,
             cfg,
             render_depth=(mode == "depth"),
+            scale_modifier=scale,
         )
         return np.asarray(res.image).transpose(1, 2, 0)
 
-    state = ViewerState(render_fn, camera.width, camera.height)
+    params = {"lambda_dssim": 0.2}
+    state = ViewerState(
+        render_fn, camera.width, camera.height,
+        mask=np.ones((camera.height, camera.width), np.float32),
+        params_get=lambda: dict(params),
+        params_set=lambda u: params.update(u),
+    )
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -66,6 +73,21 @@ def test_viewer_serves_page_and_frames():
         )
         jpg = urllib.request.urlopen(req, timeout=120).read()
         assert jpg[:2] == b"\xff\xd8"
+
+        # live-params bridge (VariableParameters analog)
+        got = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/params", timeout=30
+            ).read()
+        )
+        assert got == {"lambda_dssim": 0.2}
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/params",
+            data=json.dumps({"lambda_dssim": 0.35}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=30).read()
+        assert params["lambda_dssim"] == 0.35
     finally:
         httpd.shutdown()
 
