@@ -106,6 +106,7 @@ class TpuParams:
     fuse_steps: int = 24
     mesh_data: int = 1  # view-parallel axis size
     mesh_gauss: int = 1  # Gaussian-parallel axis size
+    views_per_group: int = 1  # views batched per data group per step
 
 
 @dataclasses.dataclass
@@ -199,6 +200,7 @@ _KEYMAP = {
     "Tpu.gt_bank_mb": ("tpu", "gt_bank_mb", int),
     "Tpu.mesh_data": ("tpu", "mesh_data", int),
     "Tpu.mesh_gauss": ("tpu", "mesh_gauss", int),
+    "Tpu.views_per_group": ("tpu", "views_per_group", int),
 }
 
 

@@ -88,6 +88,64 @@ def ssim(
     return ssim_map.mean() if size_average else ssim_map
 
 
+def ssim_rows(
+    img1: jnp.ndarray,
+    img2: jnp.ndarray,
+    row0,
+    nrows: int,
+    total_rows: int,
+    window_size: int = 11,
+) -> jnp.ndarray:
+    """Rows [row0, row0+nrows) of the full-image SAME-padded `ssim` map,
+    computed from only an (nrows + window − 1)-row slice.
+
+    The device-local piece for sharded losses: each device convolves its own
+    row block (plus the window halo), so per-device SSIM FLOPs scale with
+    rows/n_devices instead of the full image. Images are zero-padded to
+    ``ceil`` row blocks; rows ≥ ``total_rows`` come out as garbage (zero
+    inputs → SSIM 1) and must be masked by the caller.
+    """
+    h = window_size // 2
+    c, H, W = img1.shape
+    assert H == total_rows
+
+    def slice_pad(img):
+        # top/bottom halo zeros (≡ SAME padding) + tail zeros so the
+        # dynamic slice never clamps
+        p = jnp.pad(img, ((0, 0), (h, h + nrows), (0, 0)))
+        return jax.lax.dynamic_slice_in_dim(
+            p, row0, nrows + 2 * h, axis=1
+        )
+
+    s1, s2 = slice_pad(img1), slice_pad(img2)
+    win = jnp.asarray(_gaussian_window(window_size))
+    k = win.shape[0]
+    kernel = jnp.broadcast_to(win[:, :, None, None], (k, k, 1, c))
+
+    def conv(x):
+        # vertical VALID (halo pre-padded), horizontal SAME — exactly the
+        # full-image SAME conv restricted to this row block
+        return jax.lax.conv_general_dilated(
+            x[None],
+            kernel,
+            window_strides=(1, 1),
+            padding=((0, 0), (h, h)),
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            feature_group_count=c,
+            precision=jax.lax.Precision.HIGHEST,
+        )[0]
+
+    mu1, mu2 = conv(s1), conv(s2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    sigma1_sq = conv(s1 * s1) - mu1_sq
+    sigma2_sq = conv(s2 * s2) - mu2_sq
+    sigma12 = conv(s1 * s2) - mu1_mu2
+    c1, c2 = 0.01**2, 0.03**2
+    return ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
+        (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)
+    )
+
+
 def training_loss(
     pred: jnp.ndarray,
     gt: jnp.ndarray,

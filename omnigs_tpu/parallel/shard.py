@@ -249,10 +249,13 @@ def make_sharded_train_step(
             check_vma=False,
         )
         def _step(model_shard, opt_shard, vms, cps, gts, it):
-            vm, cp, gt = vms[0], cps[0], gts[0]
-
-            def loss_fn(params, ndc):
-                m = model_shard.with_params(params)
+            def view_loss(m, vm, cp, gt, ndc):
+                """One view's loss with ROW-PARTITIONED partials: each gauss
+                shard convolves only its own row block of the assembled
+                image (loss_ops.ssim_rows + an L1 row-slice), then the
+                partial sums psum over the gauss axis. Per-device loss FLOPs
+                scale with H/n_gauss instead of the full image; the 11-px
+                SSIM halo comes from the already-gathered image rows."""
                 image, radii, overflow, truncated = _render_image_sharded(
                     m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
                     means2d_ndc=ndc,
@@ -261,15 +264,58 @@ def make_sharded_train_step(
                 if skip_bottom_px > 0:
                     pred = pred[:, :-skip_bottom_px]
                     gtc = gtc[:, :-skip_bottom_px]
-                l1 = loss_ops.l1_loss(pred, gtc)
+                c, H2, W = pred.shape
+                rows_per = -(-H2 // n_gauss)
+                r0 = jax.lax.axis_index(GAUSS_AXIS) * rows_per
+                row_valid = (
+                    r0 + jnp.arange(rows_per, dtype=jnp.int32) < H2
+                )[None, :, None]
+
+                def rows_of(x):
+                    p = jnp.pad(x, ((0, 0), (0, rows_per), (0, 0)))
+                    return jax.lax.dynamic_slice_in_dim(
+                        p, r0, rows_per, axis=1
+                    )
+
+                l1_part = jnp.sum(
+                    jnp.where(
+                        row_valid,
+                        jnp.abs(rows_of(pred) - rows_of(gtc)),
+                        0.0,
+                    )
+                )
+                smap = loss_ops.ssim_rows(pred, gtc, r0, rows_per, H2)
+                ssim_part = jnp.sum(jnp.where(row_valid, smap, 0.0))
+                npix = c * H2 * W
+                l1 = jax.lax.psum(l1_part, GAUSS_AXIS) / npix
+                ssim_mean = jax.lax.psum(ssim_part, GAUSS_AXIS) / npix
                 total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
-                    1.0 - loss_ops.ssim(pred, gtc)
+                    1.0 - ssim_mean
                 )
                 return total, (radii, overflow, truncated)
 
+            n_views = vms.shape[0]  # views per data group (batched DP)
+
+            def loss_fn(params, ndc):
+                m = model_shard.with_params(params)
+                total = 0.0
+                radii_v, ov_t, tr_t = [], 0, 0
+                for v in range(n_views):
+                    t, (radii, ov, tr) = view_loss(
+                        m, vms[v], cps[v], gts[v], ndc[v]
+                    )
+                    total = total + t
+                    radii_v.append(radii)
+                    ov_t, tr_t = ov_t + ov, tr_t + tr
+                return total / n_views, (
+                    jnp.stack(radii_v), ov_t, tr_t
+                )
+
             params = model_shard.params()
-            ndc0 = jnp.zeros((model_shard.capacity, 2))
-            (loss, (radii_full, overflow, truncated)), (grads, ndc_g) = (
+            # per-view ndc rows so densify stats sum ‖grad_v‖ per view
+            # (reference accumulates per iteration, one view each)
+            ndc0 = jnp.zeros((n_views, model_shard.capacity, 2))
+            (loss, (radii_views, overflow, truncated)), (grads, ndc_g) = (
                 jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
                     params, ndc0
                 )
@@ -294,18 +340,23 @@ def make_sharded_train_step(
                 p_loc = model_shard.capacity
                 lo = jax.lax.axis_index(GAUSS_AXIS) * p_loc
                 radii_loc = jax.lax.dynamic_slice_in_dim(
-                    radii_full, lo, p_loc
-                )
+                    radii_views, lo, p_loc, axis=1
+                )  # (V, p_loc)
                 vis = radii_loc > 0
-                gnorm = jnp.linalg.norm(ndc_g[:, :2], axis=-1)
+                gnorm = jnp.linalg.norm(ndc_g[..., :2], axis=-1)  # (V, p_loc)
                 model_new = model_new.replace(
                     xyz_gradient_accum=model_new.xyz_gradient_accum
-                    + jax.lax.psum(jnp.where(vis, gnorm, 0.0), DATA_AXIS),
+                    + jax.lax.psum(
+                        jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0),
+                        DATA_AXIS,
+                    ),
                     denom=model_new.denom
-                    + jax.lax.psum(vis.astype(jnp.float32), DATA_AXIS),
+                    + jax.lax.psum(
+                        jnp.sum(vis.astype(jnp.float32), axis=0), DATA_AXIS
+                    ),
                     max_radii2d=jnp.maximum(
                         model_new.max_radii2d,
-                        jax.lax.pmax(radii_loc, DATA_AXIS),
+                        jax.lax.pmax(jnp.max(radii_loc, axis=0), DATA_AXIS),
                     ),
                 )
 

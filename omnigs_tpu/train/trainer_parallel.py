@@ -155,7 +155,8 @@ class ParallelTrainer:
         cfg = self.config
         self.iteration += 1
         it = self.iteration
-        kfs = [self.sampler.sample() for _ in range(self.n_data)]
+        vpg = cfg.tpu.views_per_group
+        kfs = [self.sampler.sample() for _ in range(self.n_data * vpg)]
 
         in_densify_phase = it < cfg.opt.densify_until_iter
         do_densify = (
@@ -171,14 +172,21 @@ class ParallelTrainer:
         # the sampler sequence is identical on every process (same seed);
         # each process materializes ONLY its own data rows — GT bytes never
         # cross hosts, gradients do (psum over the data axis)
-        lr = self.local_rows
+        # row d of the (n_data·vpg)-long batch belongs to data group
+        # d // vpg; this process materializes rows of its own groups only
+        rows = [
+            g * vpg + v for g in self.local_rows for v in range(vpg)
+        ]
         vms = data_batch(
-            self.mesh, np.stack([np.asarray(kfs[d].viewmatrix) for d in lr])
+            self.mesh,
+            np.stack([np.asarray(kfs[d].viewmatrix) for d in rows]),
         )
         cps = data_batch(
-            self.mesh, np.stack([np.asarray(kfs[d].campos) for d in lr])
+            self.mesh, np.stack([np.asarray(kfs[d].campos) for d in rows])
         )
-        gts = data_batch(self.mesh, np.stack([self._gt(kfs[d]) for d in lr]))
+        gts = data_batch(
+            self.mesh, np.stack([self._gt(kfs[d]) for d in rows])
+        )
 
         step = self._step_fn(
             update_stats=in_densify_phase,
