@@ -112,3 +112,19 @@ def replicate_from_host(mesh, value: np.ndarray, pspec=None):
     return jax.make_array_from_callback(
         value.shape, sharding, lambda idx: value[idx]
     )
+
+
+def data_batch_seq(mesh, local_seq: np.ndarray):
+    """(K, D, ...) fused-window batch sharded on axis 1 (data) from this
+    process's rows only: ``local_seq`` is (K, n_local_rows, ...)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    n_data = np.asarray(mesh.devices).shape[0]
+    global_shape = (
+        local_seq.shape[0],
+        n_data * local_seq.shape[1] // max(len(local_data_rows(mesh)), 1),
+    ) + tuple(local_seq.shape[2:])
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(local_seq), global_shape
+    )

@@ -204,6 +204,156 @@ def sharded_render(
     return fwd(model, viewmatrix, campos, bg)
 
 
+def _sharded_iteration(
+    model_shard,
+    opt_shard,
+    vms,
+    cps,
+    gts,
+    it,
+    *,
+    camera,
+    sh_degree,
+    cfg,
+    lr_cfg,
+    spatial_lr_scale,
+    bg_const,
+    lambda_dssim,
+    skip_bottom_px,
+    update_stats,
+    do_adam,
+    n_gauss,
+):
+    """One training iteration on one device's shards — runs inside
+    shard_map; shared by the per-step and fused-window builders."""
+    def view_loss(m, vm, cp, gt, ndc):
+        """One view's loss with ROW-PARTITIONED partials: each gauss
+        shard convolves only its own row block of the assembled
+        image (loss_ops.ssim_rows + an L1 row-slice), then the
+        partial sums psum over the gauss axis. Per-device loss FLOPs
+        scale with H/n_gauss instead of the full image; the 11-px
+        SSIM halo comes from the already-gathered image rows."""
+        image, radii, overflow, truncated = _render_image_sharded(
+            m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
+            means2d_ndc=ndc,
+        )
+        pred, gtc = image, gt  # (3, H, W)
+        if skip_bottom_px > 0:
+            pred = pred[:, :-skip_bottom_px]
+            gtc = gtc[:, :-skip_bottom_px]
+        c, H2, W = pred.shape
+        rows_per = -(-H2 // n_gauss)
+        r0 = jax.lax.axis_index(GAUSS_AXIS) * rows_per
+        row_valid = (
+            r0 + jnp.arange(rows_per, dtype=jnp.int32) < H2
+        )[None, :, None]
+
+        def rows_of(x):
+            p = jnp.pad(x, ((0, 0), (0, rows_per), (0, 0)))
+            return jax.lax.dynamic_slice_in_dim(
+                p, r0, rows_per, axis=1
+            )
+
+        l1_part = jnp.sum(
+            jnp.where(
+                row_valid,
+                jnp.abs(rows_of(pred) - rows_of(gtc)),
+                0.0,
+            )
+        )
+        smap = loss_ops.ssim_rows(pred, gtc, r0, rows_per, H2)
+        ssim_part = jnp.sum(jnp.where(row_valid, smap, 0.0))
+        npix = c * H2 * W
+        l1 = jax.lax.psum(l1_part, GAUSS_AXIS) / npix
+        ssim_mean = jax.lax.psum(ssim_part, GAUSS_AXIS) / npix
+        total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
+            1.0 - ssim_mean
+        )
+        return total, (radii, overflow, truncated)
+
+    n_views = vms.shape[0]  # views per data group (batched DP)
+
+    def loss_fn(params, ndc):
+        m = model_shard.with_params(params)
+        total = 0.0
+        radii_v, ov_t, tr_t = [], 0, 0
+        for v in range(n_views):
+            t, (radii, ov, tr) = view_loss(
+                m, vms[v], cps[v], gts[v], ndc[v]
+            )
+            total = total + t
+            radii_v.append(radii)
+            ov_t, tr_t = ov_t + ov, tr_t + tr
+        return total / n_views, (
+            jnp.stack(radii_v), ov_t, tr_t
+        )
+
+    params = model_shard.params()
+    # per-view ndc rows so densify stats sum ‖grad_v‖ per view
+    # (reference accumulates per iteration, one view each)
+    ndc0 = jnp.zeros((n_views, model_shard.capacity, 2))
+    (loss, (radii_views, overflow, truncated)), (grads, ndc_g) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
+            params, ndc0
+        )
+    )
+    # view-parallel gradient all-reduce (overlapped by XLA)
+    grads = jax.lax.pmean(grads, DATA_AXIS)
+    loss_mean = jax.lax.pmean(loss, DATA_AXIS)
+    # capacity-pressure counters, totalled over the whole mesh
+    # (each gauss shard bins its own tile window; data groups see
+    # different views)
+    overflow = jax.lax.psum(
+        jax.lax.psum(overflow, GAUSS_AXIS), DATA_AXIS
+    )
+    truncated = jax.lax.psum(
+        jax.lax.psum(truncated, GAUSS_AXIS), DATA_AXIS
+    )
+
+    model_new = model_shard
+    if update_stats:
+        # per-view stat accumulation summed over the view batch
+        # (`addDensificationStats`: Σ_views ‖ndc grad‖ per Gaussian)
+        p_loc = model_shard.capacity
+        lo = jax.lax.axis_index(GAUSS_AXIS) * p_loc
+        radii_loc = jax.lax.dynamic_slice_in_dim(
+            radii_views, lo, p_loc, axis=1
+        )  # (V, p_loc)
+        vis = radii_loc > 0
+        gnorm = jnp.linalg.norm(ndc_g[..., :2], axis=-1)  # (V, p_loc)
+        model_new = model_new.replace(
+            xyz_gradient_accum=model_new.xyz_gradient_accum
+            + jax.lax.psum(
+                jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0),
+                DATA_AXIS,
+            ),
+            denom=model_new.denom
+            + jax.lax.psum(
+                jnp.sum(vis.astype(jnp.float32), axis=0), DATA_AXIS
+            ),
+            max_radii2d=jnp.maximum(
+                model_new.max_radii2d,
+                jax.lax.pmax(jnp.max(radii_loc, axis=0), DATA_AXIS),
+            ),
+        )
+
+    opt_new = opt_shard
+    if do_adam:
+        lrs = opt_ops.group_lrs(lr_cfg, spatial_lr_scale, it)
+        new_params, opt_new = opt_ops.adam_step(
+            model_new.params(),
+            grads,
+            opt_shard,
+            lrs,
+            model_new.active,
+        )
+        model_new = model_new.with_params(new_params)
+    aux = dict(
+        loss=loss_mean, overflow=overflow, truncated=truncated
+    )
+    return model_new, opt_new, aux
+
+
 def make_sharded_train_step(
     mesh,
     camera: Camera,
@@ -249,132 +399,13 @@ def make_sharded_train_step(
             check_vma=False,
         )
         def _step(model_shard, opt_shard, vms, cps, gts, it):
-            def view_loss(m, vm, cp, gt, ndc):
-                """One view's loss with ROW-PARTITIONED partials: each gauss
-                shard convolves only its own row block of the assembled
-                image (loss_ops.ssim_rows + an L1 row-slice), then the
-                partial sums psum over the gauss axis. Per-device loss FLOPs
-                scale with H/n_gauss instead of the full image; the 11-px
-                SSIM halo comes from the already-gathered image rows."""
-                image, radii, overflow, truncated = _render_image_sharded(
-                    m, vm, cp, camera, bg_const, sh_degree, cfg, n_gauss,
-                    means2d_ndc=ndc,
-                )
-                pred, gtc = image, gt  # (3, H, W)
-                if skip_bottom_px > 0:
-                    pred = pred[:, :-skip_bottom_px]
-                    gtc = gtc[:, :-skip_bottom_px]
-                c, H2, W = pred.shape
-                rows_per = -(-H2 // n_gauss)
-                r0 = jax.lax.axis_index(GAUSS_AXIS) * rows_per
-                row_valid = (
-                    r0 + jnp.arange(rows_per, dtype=jnp.int32) < H2
-                )[None, :, None]
-
-                def rows_of(x):
-                    p = jnp.pad(x, ((0, 0), (0, rows_per), (0, 0)))
-                    return jax.lax.dynamic_slice_in_dim(
-                        p, r0, rows_per, axis=1
-                    )
-
-                l1_part = jnp.sum(
-                    jnp.where(
-                        row_valid,
-                        jnp.abs(rows_of(pred) - rows_of(gtc)),
-                        0.0,
-                    )
-                )
-                smap = loss_ops.ssim_rows(pred, gtc, r0, rows_per, H2)
-                ssim_part = jnp.sum(jnp.where(row_valid, smap, 0.0))
-                npix = c * H2 * W
-                l1 = jax.lax.psum(l1_part, GAUSS_AXIS) / npix
-                ssim_mean = jax.lax.psum(ssim_part, GAUSS_AXIS) / npix
-                total = (1.0 - lambda_dssim) * l1 + lambda_dssim * (
-                    1.0 - ssim_mean
-                )
-                return total, (radii, overflow, truncated)
-
-            n_views = vms.shape[0]  # views per data group (batched DP)
-
-            def loss_fn(params, ndc):
-                m = model_shard.with_params(params)
-                total = 0.0
-                radii_v, ov_t, tr_t = [], 0, 0
-                for v in range(n_views):
-                    t, (radii, ov, tr) = view_loss(
-                        m, vms[v], cps[v], gts[v], ndc[v]
-                    )
-                    total = total + t
-                    radii_v.append(radii)
-                    ov_t, tr_t = ov_t + ov, tr_t + tr
-                return total / n_views, (
-                    jnp.stack(radii_v), ov_t, tr_t
-                )
-
-            params = model_shard.params()
-            # per-view ndc rows so densify stats sum ‖grad_v‖ per view
-            # (reference accumulates per iteration, one view each)
-            ndc0 = jnp.zeros((n_views, model_shard.capacity, 2))
-            (loss, (radii_views, overflow, truncated)), (grads, ndc_g) = (
-                jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)(
-                    params, ndc0
-                )
+            return _sharded_iteration(
+                model_shard, opt_shard, vms, cps, gts, it,
+                camera=camera, sh_degree=sh_degree, cfg=cfg, lr_cfg=lr_cfg,
+                spatial_lr_scale=spatial_lr_scale, bg_const=bg_const,
+                lambda_dssim=lambda_dssim, skip_bottom_px=skip_bottom_px,
+                update_stats=update_stats, do_adam=do_adam, n_gauss=n_gauss,
             )
-            # view-parallel gradient all-reduce (overlapped by XLA)
-            grads = jax.lax.pmean(grads, DATA_AXIS)
-            loss_mean = jax.lax.pmean(loss, DATA_AXIS)
-            # capacity-pressure counters, totalled over the whole mesh
-            # (each gauss shard bins its own tile window; data groups see
-            # different views)
-            overflow = jax.lax.psum(
-                jax.lax.psum(overflow, GAUSS_AXIS), DATA_AXIS
-            )
-            truncated = jax.lax.psum(
-                jax.lax.psum(truncated, GAUSS_AXIS), DATA_AXIS
-            )
-
-            model_new = model_shard
-            if update_stats:
-                # per-view stat accumulation summed over the view batch
-                # (`addDensificationStats`: Σ_views ‖ndc grad‖ per Gaussian)
-                p_loc = model_shard.capacity
-                lo = jax.lax.axis_index(GAUSS_AXIS) * p_loc
-                radii_loc = jax.lax.dynamic_slice_in_dim(
-                    radii_views, lo, p_loc, axis=1
-                )  # (V, p_loc)
-                vis = radii_loc > 0
-                gnorm = jnp.linalg.norm(ndc_g[..., :2], axis=-1)  # (V, p_loc)
-                model_new = model_new.replace(
-                    xyz_gradient_accum=model_new.xyz_gradient_accum
-                    + jax.lax.psum(
-                        jnp.sum(jnp.where(vis, gnorm, 0.0), axis=0),
-                        DATA_AXIS,
-                    ),
-                    denom=model_new.denom
-                    + jax.lax.psum(
-                        jnp.sum(vis.astype(jnp.float32), axis=0), DATA_AXIS
-                    ),
-                    max_radii2d=jnp.maximum(
-                        model_new.max_radii2d,
-                        jax.lax.pmax(jnp.max(radii_loc, axis=0), DATA_AXIS),
-                    ),
-                )
-
-            opt_new = opt_shard
-            if do_adam:
-                lrs = opt_ops.group_lrs(lr_cfg, spatial_lr_scale, it)
-                new_params, opt_new = opt_ops.adam_step(
-                    model_new.params(),
-                    grads,
-                    opt_shard,
-                    lrs,
-                    model_new.active,
-                )
-                model_new = model_new.with_params(new_params)
-            aux = dict(
-                loss=loss_mean, overflow=overflow, truncated=truncated
-            )
-            return model_new, opt_new, aux
 
         return _step(model, opt_state, viewmatrices, camposes, gt_images, it)
 
@@ -412,3 +443,80 @@ def make_sharded_densify(mesh, **static_kwargs):
         return _run(model, opt_state, key, iteration)
 
     return jax.jit(run)
+
+
+def make_sharded_train_window(
+    mesh,
+    camera: Camera,
+    sh_degree: int,
+    cfg: RasterConfig,
+    lr_cfg: opt_ops.LRConfig,
+    spatial_lr_scale: float,
+    bg=None,
+    lambda_dssim: float = 0.2,
+    skip_bottom_px: int = 0,
+    update_stats: bool = True,
+):
+    """K iterations scanned into ONE device program over the mesh — the
+    sharded analog of `train_steps_fused` (the per-dispatch host round trip
+    dominates on tunneled devices; windows end strictly before densify/
+    reset/SH-bump events, so `do_adam=True` holds throughout).
+
+    Inputs carry a leading K axis: viewmatrices (K, D, 4, 4), camposes
+    (K, D, 3), gt_images (K, D, 3, H, W) with D = n_data·views_per_group.
+    """
+    n_gauss = mesh.shape[GAUSS_AXIS]
+    bg_const = jnp.zeros(3) if bg is None else jnp.asarray(bg)
+
+    def window(model, opt_state, viewmatrices, camposes, gt_images, it0):
+        gauss_spec_model = jax.tree_util.tree_map(
+            lambda _: P(GAUSS_AXIS), model
+        )
+        gauss_spec_opt = jax.tree_util.tree_map(
+            lambda _: P(GAUSS_AXIS), opt_state
+        ).replace(count=P())
+
+        @functools.partial(
+            jax.shard_map,
+            mesh=mesh,
+            in_specs=(
+                gauss_spec_model,
+                gauss_spec_opt,
+                P(None, DATA_AXIS),
+                P(None, DATA_AXIS),
+                P(None, DATA_AXIS),
+                P(),
+            ),
+            out_specs=(gauss_spec_model, gauss_spec_opt, P()),
+            check_vma=False,
+        )
+        def _window(m, o, vms, cps, gts, it0):
+            k = vms.shape[0]
+            its = it0 + jnp.arange(1, k + 1)
+
+            def body(carry, xs):
+                m, o = carry
+                vm, cp, gt, it = xs
+                m, o, aux = _sharded_iteration(
+                    m, o, vm, cp, gt, it,
+                    camera=camera, sh_degree=sh_degree, cfg=cfg,
+                    lr_cfg=lr_cfg, spatial_lr_scale=spatial_lr_scale,
+                    bg_const=bg_const, lambda_dssim=lambda_dssim,
+                    skip_bottom_px=skip_bottom_px,
+                    update_stats=update_stats, do_adam=True,
+                    n_gauss=n_gauss,
+                )
+                return (m, o), (
+                    aux["loss"], aux["overflow"], aux["truncated"]
+                )
+
+            (m, o), (losses, ov, tr) = jax.lax.scan(
+                body, (m, o), (vms, cps, gts, its)
+            )
+            return m, o, (losses, jnp.sum(ov), jnp.sum(tr))
+
+        return _window(
+            model, opt_state, viewmatrices, camposes, gt_images, it0
+        )
+
+    return jax.jit(window)

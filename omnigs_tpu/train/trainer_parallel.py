@@ -28,6 +28,7 @@ from omnigs_tpu.ops.knn import mean_sq_knn_dist
 from omnigs_tpu.ops.rasterize import RasterConfig
 from omnigs_tpu.parallel.distributed import (
     data_batch,
+    data_batch_seq,
     local_data_rows,
     make_global_mesh,
     replicate_from_host,
@@ -36,6 +37,7 @@ from omnigs_tpu.parallel.mesh import DATA_AXIS, GAUSS_AXIS
 from omnigs_tpu.parallel.shard import (
     make_sharded_densify,
     make_sharded_train_step,
+    make_sharded_train_window,
 )
 from omnigs_tpu.scene.scene import KeyframeSampler, Scene
 
@@ -90,6 +92,7 @@ class ParallelTrainer:
         self._pending_losses = []
         self.key = jax.random.PRNGKey(self.seed)
         self._steps = {}
+        self._windows = {}
         self._densify = None
         self.model = None
         self.opt_state = None
@@ -231,6 +234,114 @@ class ParallelTrainer:
         if len(self._pending_losses) > 512:
             self.drain_losses()
         return loss
+
+    # -- fused multi-step windows (sharded analog of Trainer.train_window) --
+
+    def _next_event_iter(self, it: int) -> int:
+        cfg = self.config
+        def nxt(m):
+            return (it // m + 1) * m
+        events = [nxt(1000)]  # SH degree bump cadence
+        if cfg.opt.densification_interval:
+            events.append(nxt(cfg.opt.densification_interval))
+        if cfg.opt.opacity_reset_interval:
+            events.append(nxt(cfg.opt.opacity_reset_interval))
+        for b in (
+            cfg.opt.densify_from_iter,
+            cfg.opt.densify_until_iter,
+            cfg.opt.max_num_iterations,
+        ):
+            if b > it:
+                events.append(b)
+        return min(events)
+
+    def _window_fn(self, update_stats: bool):
+        key = (self.sh_degree, update_stats)
+        if key not in self._windows:
+            cfg = self.config
+            self._windows[key] = make_sharded_train_window(
+                self.mesh,
+                self.camera,
+                sh_degree=self.sh_degree,
+                cfg=self.raster_cfg,
+                lr_cfg=self.lr_cfg,
+                spatial_lr_scale=self.cameras_extent,
+                bg=self.bg,
+                lambda_dssim=cfg.opt.lambda_dssim,
+                skip_bottom_px=(
+                    int(round(self.camera.height * cfg.opt.skip_bottom_ratio))
+                    if cfg.opt.skip_bottom_ratio > 0
+                    else 0
+                ),
+                update_stats=update_stats,
+            )
+        return self._windows[key]
+
+    def train_window(self, max_steps: int) -> int:
+        """Up to ``max_steps`` iterations as ONE scanned mesh program.
+        Returns steps taken (0 ⇒ next iteration is an event)."""
+        cfg = self.config
+        it = self.iteration
+        k = min(max_steps, self._next_event_iter(it) - 1 - it)
+        if k <= 0:
+            return 0
+        vpg = cfg.tpu.views_per_group
+        rows = [g * vpg + v for g in self.local_rows for v in range(vpg)]
+        vms, cps, gts = [], [], []
+        for _ in range(k):
+            kfs = [
+                self.sampler.sample() for _ in range(self.n_data * vpg)
+            ]
+            vms.append([np.asarray(kfs[d].viewmatrix) for d in rows])
+            cps.append([np.asarray(kfs[d].campos) for d in rows])
+            gts.append([self._gt(kfs[d]) for d in rows])
+        win = self._window_fn(
+            update_stats=it + k <= cfg.opt.densify_until_iter
+        )
+        self.model, self.opt_state, (losses, ov, tr) = win(
+            self.model,
+            self.opt_state,
+            data_batch_seq(self.mesh, np.asarray(vms)),
+            data_batch_seq(self.mesh, np.asarray(cps)),
+            data_batch_seq(self.mesh, np.asarray(gts)),
+            np.int32(it),
+        )
+        self.iteration = it + k
+        self._pending_losses.append((losses, ov, tr))
+        if len(self._pending_losses) > 512:
+            self.drain_losses()
+        return k
+
+    def train(self, num_iterations=None, log_every: int = 0, fuse=None):
+        """Driver loop: fused windows between events, single steps at
+        events — mirrors Trainer.train."""
+        import time as _time
+
+        cfg = self.config
+        n = num_iterations or cfg.opt.max_num_iterations
+        fuse = cfg.tpu.fuse_steps if fuse is None else fuse
+        t0 = _time.time()
+        end = self.iteration + n
+        while self.iteration < end:
+            budget = end - self.iteration
+            if log_every:
+                budget = min(budget, log_every - self.iteration % log_every)
+            took = self.train_window(min(budget, fuse)) if fuse > 1 else 0
+            if took == 0:
+                self.train_iteration()
+            if log_every and self.iteration % log_every == 0:
+                self.drain_losses()
+                print(
+                    f"iter {self.iteration}: loss={self.last_loss:.4f} "
+                    f"ema={self.ema_loss:.4f} ({_time.time() - t0:.1f}s)",
+                    flush=True,
+                )
+
+    def host_model(self):
+        """Gather the sharded model to host arrays (eval / PLY export).
+        Single-controller usage; multi-process eval should run on process 0
+        after a checkpoint restore."""
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), self.model)
 
     # -- sharded full-state checkpointing --
 
