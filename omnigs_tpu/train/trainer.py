@@ -292,6 +292,67 @@ class Trainer:
         d2 = mean_sq_knn_dist(pts)
         self.model = from_pcd(pts, cols, self.config.tpu.capacity, d2)
         self.opt_state = opt_ops.init_adam(self.model.params())
+        if self.config.tpu.max_instances == 0:
+            self._autosize_capacities()
+
+    def _autosize_capacities(self, sample_views: int = 4):
+        """Size `max_instances` from measured scene statistics
+        (Tpu.max_instances: 0 = auto): surviving instance emission over a
+        few sampled views, scaled by the densification growth headroom
+        (emission grows ~linearly with live Gaussians up to capacity) plus
+        25% margin, rounded to a power of two. Complements the truncation
+        counters: overflow is still counted and warned if the estimate is
+        ever exceeded mid-training."""
+        import math
+
+        from omnigs_tpu.ops.binning import _precull_masks
+        from omnigs_tpu.ops.preprocess import preprocess, tile_grid
+
+        fids = sorted(self.scene.keyframes)
+        step = max(len(fids) // sample_views, 1)
+        worst = 0
+
+        @jax.jit
+        def emission(vm, campos, camera=self.camera):
+            prep = preprocess(
+                self.model.xyz,
+                self.model.get_scaling(),
+                self.model.get_rotation(),
+                self.model.get_opacity(),
+                self.model.get_features(),
+                camera,
+                vm,
+                campos,
+                0,
+                active_mask=self.model.active,
+                tight_culling=self.raster_cfg.tight_culling,
+            )
+            if self.raster_cfg.tile_culling:
+                _, _, tiles = _precull_masks(prep, tile_grid(camera)[0])
+            else:
+                tiles = prep.tiles_touched
+            return jnp.sum(tiles)
+
+        for fid in fids[::step][:sample_views]:
+            kf = self.scene.keyframes[fid]
+            worst = max(
+                worst,
+                int(emission(jnp.asarray(kf.viewmatrix), jnp.asarray(kf.campos))),
+            )
+        growth = self.config.tpu.capacity / max(int(self.model.num_active), 1)
+        est = int(worst * min(growth, 8.0) * 1.25)
+        max_inst = 1 << max(16, math.ceil(math.log2(max(est, 1))))
+        max_inst = min(max_inst, 1 << 23)  # offsets ride an f32 column
+        self.config.tpu.max_instances = max_inst
+        from omnigs_tpu.config import raster_config_from
+
+        self.raster_cfg = raster_config_from(self.config)
+        print(
+            f"[autosize] max_instances={max_inst} "
+            f"(measured worst emission {worst}, growth cap "
+            f"{min(growth, 8.0):.1f}x)",
+            flush=True,
+        )
 
     @property
     def sh_degree(self) -> int:

@@ -40,11 +40,61 @@ def main():
             sh_degree=3, config=cfg,
         )
 
-    eager = render()
+    # Staged-jit reference: preprocess, binning, and compositing jitted
+    # SEPARATELY, so every stage boundary is materialized exactly like eager
+    # execution — the whole-program jit cannot clone producer chains across
+    # those boundaries. This catches the XLA fusion-duplication class (the
+    # rect rounding divergence) at full scale without eager's thousands of
+    # per-op dispatches (infeasible over the tunnel on a cold compile cache).
+    from omnigs_tpu.ops.binning import bin_instances
+    from omnigs_tpu.ops.pallas_raster import composite_instances
+    from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
+    from omnigs_tpu.ops.rasterize import _tiles_to_image
+
+    gx, gy = tile_grid(cam)
+
+    @jax.jit
+    def staged_prep():
+        return preprocess(
+            model.xyz, model.get_scaling(), model.get_rotation(),
+            model.get_opacity(), model.get_features(), cam,
+            jnp.eye(4), jnp.zeros(3), 3, active_mask=model.active,
+            tight_culling=True,
+        )
+
+    prep = jax.block_until_ready(staged_prep())
+    binned = jax.block_until_ready(
+        jax.jit(
+            lambda p: bin_instances(
+                p, gx, gy, cfg.max_instances, tile_cull=True
+            )
+        )(prep)
+    )
+    import numpy as _np
+
+    t_ids = _np.arange(gx * gy)
+    x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
+    y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)
+
+    @jax.jit
+    def staged_comp(prep, sorted_g, starts, counts):
+        color_t, _, _ = composite_instances(
+            prep.means2d, prep.conic, prep.rgb, prep.opacity,
+            jnp.zeros(3), sorted_g, starts, counts, x0, y0,
+            None, None, None, gx * gy, False,
+        )
+        return _tiles_to_image(color_t, gx, gy, cam.width, cam.height)
+
+    staged_img = staged_comp(
+        prep, binned.sorted_g, binned.starts, binned.counts
+    )
     jitted = jax.jit(render)()
-    err = float(jnp.abs(jitted.image - eager.image).max())
+    err = float(jnp.abs(jitted.image - staged_img).max())
     ok = err < 0.05
-    print(f"jit-vs-eager max image error: {err:.6f}  ({'OK' if ok else 'FAIL'})")
+    print(
+        f"jit-vs-staged max image error: {err:.6f}  "
+        f"({'OK' if ok else 'FAIL'})"
+    )
 
     # Cross-backend check at reduced scale: the Pallas pipeline (binning +
     # kernels) must match the independent XLA compositor ON CHIP. Catches

@@ -83,18 +83,18 @@ def main():
         vms = jax.device_put(jnp.tile(jnp.eye(4)[None], (data, 1, 1)), dspec)
         cps = jax.device_put(jnp.zeros((data, 3)), dspec)
         gts = jax.device_put(
-            jnp.zeros((data, args.height, args.width, 3)), dspec
+            jnp.zeros((data, 3, args.height, args.width)), dspec
         )
-        model, opt_state, loss = step(
+        model, opt_state, aux = step(
             model, opt_state, vms, cps, gts, jnp.asarray(1)
         )
-        jax.block_until_ready(loss)
+        jax.block_until_ready(aux["loss"])
         t0 = time.perf_counter()
         for i in range(args.iters):
-            model, opt_state, loss = step(
+            model, opt_state, aux = step(
                 model, opt_state, vms, cps, gts, jnp.asarray(i + 2)
             )
-        jax.block_until_ready(loss)
+        jax.block_until_ready(aux["loss"])
         dt = (time.perf_counter() - t0) / args.iters
         px_s = args.width * args.height * data / dt
         if base_px_s is None:

@@ -178,3 +178,21 @@ def test_fused_windows_match_single_steps():
             np.asarray(gb), np.asarray(ga), rtol=1e-4,
             atol=1e-5 * scale, err_msg=k,
         )
+
+
+def test_autosize_capacities():
+    """Tpu.max_instances=0 sizes the emission budget from scene stats."""
+    camera = Camera(CameraType.LONLAT, 32, 16)
+    scene = _make_scene(camera, n_views=2, seed=4)
+    cfg = Config()
+    cfg.tpu = dataclasses.replace(
+        cfg.tpu, capacity=64, max_instances=0, tile_cap=64, chunk=8
+    )
+    cfg.opt.densify_from_iter = 1000
+    cfg.opt.opacity_reset_interval = 0
+    tr = Trainer(scene, cfg)
+    tr.init_from_sfm()
+    assert cfg.tpu.max_instances >= 1 << 16  # power-of-two floor
+    assert tr.raster_cfg.max_instances == cfg.tpu.max_instances
+    tr.train_iteration()  # and the sized config actually trains
+    assert np.isfinite(tr.drain_losses())
