@@ -40,22 +40,60 @@ def load_openmvg_scene(
     znear: float = 0.01,
     zfar: float = 100.0,
     resolution_scale: float = 1.0,
+    image_filter=None,
 ) -> Scene:
-    """Build a Scene from openMVG json (+ optional sparse cloud PLY)."""
+    """Build a Scene from openMVG json (+ optional sparse cloud PLY).
+
+    ``image_filter(fid) -> bool`` restricts which keyframes load their GT
+    image bytes — the host-local data loading hook for multi-host training
+    (poses always load; images only for owned data rows).
+    """
     sfm_json = Path(sfm_json)
+    _undistort_cache = {}
     root = json.loads(sfm_json.read_text())
     scene = Scene()
 
     for intr in root.get("intrinsics", []):
         cam_id = int(intr["key"])
+        name = intr["value"].get("polymorphic_name", "spherical")
         data = intr["value"]["ptr_wrapper"]["data"]
-        # spherical intrinsics: {"value0": {"width": W, "height": H}}
+        # spherical intrinsics: {"value0": {"width": W, "height": H}};
+        # pinhole variants nest value0.value0 + focal/principal (+ disto)
         v0 = data.get("value0", data)
-        w, h = int(v0["width"]), int(v0["height"])
-        if resolution_scale != 1.0:
-            w = int(round(w * resolution_scale))
-            h = int(round(h * resolution_scale))
-        scene.cameras[cam_id] = Camera(CameraType.LONLAT, w, h)
+        if "pinhole" in name:
+            vv = v0.get("value0", v0)
+            w, h = int(vv["width"]), int(vv["height"])
+            f = float(v0.get("focal_length", vv.get("focal_length", 0.0)))
+            pp = v0.get("principal_point", [w / 2.0, h / 2.0])
+            disto = tuple(
+                float(d)
+                for d in data.get(
+                    "disto_k3", data.get("disto_k1", [])
+                )
+            )
+            # OpenCV order (k1, k2, p1, p2, k3) from openMVG radial k1/k3
+            if len(disto) == 1:
+                distortion = (disto[0], 0.0, 0.0, 0.0, 0.0)
+            elif len(disto) == 3:
+                distortion = (disto[0], disto[1], 0.0, 0.0, disto[2])
+            else:
+                distortion = ()
+            if resolution_scale != 1.0:
+                w = int(round(w * resolution_scale))
+                h = int(round(h * resolution_scale))
+                f *= resolution_scale
+                pp = [p * resolution_scale for p in pp]
+            scene.cameras[cam_id] = Camera(
+                CameraType.PINHOLE, w, h,
+                fx=f, fy=f, cx=float(pp[0]), cy=float(pp[1]),
+                distortion=distortion,
+            )
+        else:
+            w, h = int(v0["width"]), int(v0["height"])
+            if resolution_scale != 1.0:
+                w = int(round(w * resolution_scale))
+                h = int(round(h * resolution_scale))
+            scene.cameras[cam_id] = Camera(CameraType.LONLAT, w, h)
 
     extr = {
         int(e["key"]): e["value"] for e in root.get("extrinsics", [])
@@ -76,8 +114,20 @@ def load_openmvg_scene(
         cam = scene.cameras[cam_id]
         image = None
         fname = data["filename"]
-        if load_images:
+        if load_images and (image_filter is None or image_filter(fid)):
             image = _load_image(img_dir / fname, size=(cam.width, cam.height))
+            if cam.distortion:
+                # undistort once at load (`examples/train_360roam.cpp:186-196`)
+                from omnigs_tpu.cameras import (
+                    init_undistort_map_and_mask,
+                    undistort_image,
+                )
+
+                if cam not in _undistort_cache:
+                    _undistort_cache[cam] = init_undistort_map_and_mask(cam)
+                m1, m2, _ = _undistort_cache[cam]
+                if m1 is not None:
+                    image = undistort_image(np.asarray(image), m1, m2)
         scene.add_keyframe(
             Keyframe(
                 fid=fid,
