@@ -29,9 +29,12 @@ def main():
     W, H = 1920, 960
     P = 1 << 17  # 131k Gaussians (360Roam-scale mid-training)
     camera = Camera(CameraType.LONLAT, W, H)
+    # R sized to the measured post-cull emission (1.63M survivors) with
+    # headroom — ZERO truncation at this workload (cf. BENCH.md round 2:
+    # the r1 configuration capped the slab at 1.18M and dropped the rest)
     cfg = RasterConfig(
         max_instances=1 << 21, backend="pallas", tight_culling=True,
-        tile_culling=True, aligned_cap=9 << 17,
+        tile_culling=True, aligned_cap=14 << 17,
     )
     model = _example_model(capacity=P, n=P)
     vm = jnp.eye(4)

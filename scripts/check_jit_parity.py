@@ -184,11 +184,13 @@ def main():
     from omnigs_tpu.ops import loss as loss_ops
 
     gt = jnp.zeros((3, 960, 1920))
+    # caps sized to the retuned truncation-free workload (1.63M survivors;
+    # ghost layout additionally pads each tile to a chunk multiple)
     cfg_c = RasterConfig(
         max_instances=1 << 21, backend="pallas", tight_culling=True,
-        tile_culling=True, aligned_cap=5 << 18,
+        tile_culling=True, aligned_cap=14 << 17,
     )
-    cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=7 << 18)
+    cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=20 << 17)
 
     def grad_fn(cfg):
         def loss(params):

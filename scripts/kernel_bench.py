@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--height", type=int, default=960)
     ap.add_argument("--max-instances", type=int, default=1 << 21)
     ap.add_argument("--layout", choices=("compact", "ghost"), default="compact")
-    ap.add_argument("--cap", type=int, default=5 << 18)
+    ap.add_argument("--cap", type=int, default=14 << 17)
     args = ap.parse_args()
 
     import jax
