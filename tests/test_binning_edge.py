@@ -232,3 +232,48 @@ def test_tile_cull_counts_match_bruteforce():
     )
     assert (counts <= cover).all()
     assert counts.sum() < cover.sum()
+
+
+def test_precull_big_gaussian_emit_all_identical():
+    """Gaussians covering >MASK_TILES tiles take the emit-all path (all-ones
+    mask + in-expansion re-test); output must equal the uncculled render."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omnigs_tpu.cameras import Camera, CameraType
+    from omnigs_tpu.ops.rasterize import RasterConfig, rasterize
+
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from helpers import random_cloud
+
+    camera = Camera(CameraType.LONLAT, 256, 128)  # 16x8 = 128 tiles
+    pp = random_cloud(jax.random.PRNGKey(21), 64)
+    # one huge gaussian covering most of the panorama (rect >> 64 tiles)
+    pp["scales"] = pp["scales"].at[0].set(jnp.array([3.0, 3.0, 3.0]))
+    pp["opacities"] = pp["opacities"].at[0].set(0.6)
+
+    def run(cull):
+        cfg = RasterConfig(
+            max_instances=1 << 14, backend="pallas", interpret=True,
+            tile_culling=cull,
+        )
+        return rasterize(
+            pp["means3d"], pp["scales"], pp["quats"], pp["opacities"],
+            pp["shs"], camera=camera, viewmatrix=jnp.eye(4),
+            campos=jnp.zeros(3), bg=jnp.zeros(3), sh_degree=2, config=cfg,
+        )
+
+    culled, plain = run(True), run(False)
+    assert int(culled.truncated) == 0 and int(plain.truncated) == 0
+    np.testing.assert_allclose(
+        np.asarray(culled.image), np.asarray(plain.image),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(culled.final_T), np.asarray(plain.final_T),
+        rtol=1e-6, atol=1e-7,
+    )
