@@ -65,15 +65,19 @@ def main():
 
     pixels_per_s = W * H / dt
 
-    # composited depth for the roofline bound (one extra binning pass)
+    # composited depth for the roofline bound — ONE extra compiled program
+    # (compile time matters: the tunneled chip's remote-compile service can
+    # be minutes/program, see BENCH.md round-2 infrastructure findings)
     from omnigs_tpu.ops.binning import bin_instances
     from omnigs_tpu.ops.preprocess import preprocess, tile_grid
     from omnigs_tpu.utils.profiling import roofline_report
 
     gx, gy = tile_grid(camera)
     m = model
-    prep = jax.jit(
-        lambda: preprocess(
+
+    @jax.jit
+    def composited_count():
+        prep = preprocess(
             m.xyz,
             jnp.exp(m.scaling),
             m.rotation / jnp.linalg.norm(m.rotation, axis=-1, keepdims=True),
@@ -81,11 +85,10 @@ def main():
             jnp.concatenate([m.features_dc, m.features_rest], axis=1),
             camera, vm, campos, 3, tight_culling=True,
         )
-    )()
-    inst = jax.jit(
-        lambda p: bin_instances(p, gx, gy, cfg.max_instances, tile_cull=True)
-    )(prep)
-    mean_depth = float(jnp.sum(inst.counts)) / (gx * gy)
+        inst = bin_instances(prep, gx, gy, cfg.max_instances, tile_cull=True)
+        return jnp.sum(inst.counts)
+
+    mean_depth = float(composited_count()) / (gx * gy)
     roof = roofline_report(W * H, dt, mean_depth)
 
     baseline = 8.3e7  # 3090-class fwd+bwd px/s estimate (see docstring)
