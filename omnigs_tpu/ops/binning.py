@@ -127,7 +127,13 @@ def _precull_masks(prep: Preprocessed, grid_x: int):
     hi = jnp.where(big, -1, hi)
     count = jax.lax.population_count(lo) + jax.lax.population_count(hi)
     tiles_eff = jnp.where(big, area, count).astype(jnp.int32)
-    return lo, hi, tiles_eff
+    # The emission layout (offsets from tiles_eff) and the expansion's
+    # k-th-set-bit mapping (mask table columns) MUST agree bit-for-bit.
+    # Under jit, XLA can clone this float chain (the qmin threshold test)
+    # into both consumer fusions with divergent rounding — the same
+    # layout-invariant bug class as the rect barrier in preprocess.py
+    # (caught on chip by check_jit_parity: 0.196 image error).
+    return jax.lax.optimization_barrier((lo, hi, tiles_eff))
 
 
 def _kth_set_bit(lo: jnp.ndarray, hi: jnp.ndarray, k: jnp.ndarray):
