@@ -1,0 +1,34 @@
+#!/bin/bash
+# Full reference protocol on the self-contained full-res synthetic scene
+# (scripts/360roam_run.py:22-34 analog): train 32010 iters with eval/ckpt
+# every 8000, then held-out test eval at 8000 and 32000.
+# Usage: protocol_run.sh SCENE_DIR RESULT_DIR [EXTRA_TRAIN_ARGS...]
+set -u
+export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcomp
+SCENE=${1:-/root/scene_fullres}
+OUT=${2:-/root/proto_out}
+shift 2 2>/dev/null || true
+# PY override runs the entry points through a launcher (e.g.
+# "python scripts/cpu_run.py" for host-side shakeout while the chip is busy).
+PY=${PY:-python}
+CFG=${CFG:-cfg/lonlat/synthetic_protocol.yaml}
+cd /root/repo
+mkdir -p "$OUT"
+$PY examples/train_openmvg_lonlat.py \
+  "$CFG" "$OUT" \
+  "$SCENE/sfm_data_train.json" "$SCENE/points.ply" \
+  --image-root "$SCENE/images" "$@" 2>&1 | tee -a "$OUT/train.log"
+rc=$?
+echo "[protocol] train rc=$rc"
+for it in 8000 32000; do
+  ply="$OUT/$it/ply/point_cloud.ply"
+  [ -f "$ply" ] || ply=$(ls -d "$OUT"/*"$it"*/ply/point_cloud.ply 2>/dev/null | head -1)
+  if [ -f "$ply" ]; then
+    $PY examples/test_openmvg_lonlat.py \
+      "$CFG" "$OUT/${it}_test" \
+      "$SCENE/sfm_data_test.json" "$ply" 2>&1 | tee -a "$OUT/test_${it}.log"
+    echo "[protocol] test@$it rc=$?"
+  else
+    echo "[protocol] no checkpoint for iter $it"
+  fi
+done
