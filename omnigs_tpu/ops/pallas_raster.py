@@ -723,7 +723,39 @@ def _ci_bwd(num_tiles, interpret, res, cts):
         )
         acc = cs[seg_hi] - cs[seg_lo]
     else:
-        acc = jnp.zeros((P, 9)).at[sorted_g].add(rows)
+        # Live-bound chunked reduction. XLA's scatter-add on TPU is serial
+        # per row and costs ~17.5 ns/row over the STATIC slab length
+        # (BENCH.md primitive costs) — a dynamic-trip-count while_loop over
+        # fixed-size chunks pays only for rows below the live high-water
+        # mark max(starts+counts). Every row the kernel can write lies
+        # below it (tight compact segments; head-chunk merge lanes beyond a
+        # segment are masked to zero), and dinst is donated from zeros, so
+        # skipped rows contribute exactly the zero the one-shot scatter
+        # added. Big win early in training when the slab is nearly empty;
+        # at worst (full slab) one extra chunk of overhead.
+        CH_R = 1 << 16
+        r_pad = -(-r // CH_R) * CH_R
+        ids_p = jnp.concatenate(
+            [sorted_g, jnp.full((r_pad - r,), P, jnp.int32)]
+        )
+        rows_p = jnp.concatenate(
+            [rows, jnp.zeros((r_pad - r, 9), rows.dtype)]
+        )
+        live = jnp.max(starts + counts)
+        n_chunks = jnp.minimum((live + CH_R - 1) // CH_R, r_pad // CH_R)
+
+        def _add_chunk(carry):
+            acc, i = carry
+            off = i * CH_R
+            ids_c = jax.lax.dynamic_slice(ids_p, (off,), (CH_R,))
+            rows_c = jax.lax.dynamic_slice(rows_p, (off, 0), (CH_R, 9))
+            return acc.at[ids_c].add(rows_c, mode="drop"), i + 1
+
+        acc, _ = jax.lax.while_loop(
+            lambda c: c[1] < n_chunks,
+            _add_chunk,
+            (jnp.zeros((P, 9)), jnp.int32(0)),
+        )
     dm2d = acc[:, 0:2]
     dcon = acc[:, 2:5]
     dop = acc[:, 5]
