@@ -250,6 +250,37 @@ def main():
             f"golden[{fname}] on-chip max image error: {goerr:.6f}  "
             f"({'OK' if this_ok else 'FAIL'})"
         )
+        # …and the pinned input gradients: the on-hardware leg of the
+        # backward (compiled Mosaic bwd kernel + the live-bound chunked
+        # gradient reduction, a while_loop whose CPU-interpret semantics
+        # could in principle diverge under the TPU compiler).
+        w = jnp.asarray(data["loss_w"])
+        ggrads = jax.jit(
+            jax.grad(
+                lambda *a: jnp.sum(
+                    rasterize(
+                        *a, camera=gcam, viewmatrix=jnp.eye(4),
+                        campos=jnp.zeros(3), bg=jnp.array([0.1, 0.2, 0.3]),
+                        sh_degree=gdeg, config=gcfg,
+                    ).image
+                    * w
+                ),
+                argnums=(0, 1, 2, 3, 4),
+            )
+        )(*args)
+        for garr, gname in zip(
+            ggrads,
+            ("g_means3d", "g_scales", "g_quats", "g_opacities", "g_shs"),
+        ):
+            ref = jnp.asarray(data[gname])
+            gscale = float(jnp.abs(ref).max()) or 1.0
+            ggerr = float(jnp.abs(garr - ref).max()) / gscale
+            g_ok = ggerr < 2e-3
+            golden_ok = golden_ok and g_ok
+            print(
+                f"golden[{fname}] on-chip {gname} rel err: {ggerr:.2e}  "
+                f"({'OK' if g_ok else 'FAIL'})"
+            )
 
     sys.exit(0 if (ok and xok and gok and pok and golden_ok) else 1)
 
