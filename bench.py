@@ -42,28 +42,35 @@ def main():
     bg = jnp.zeros(3)
     gt = jnp.zeros((3, H, W))
 
-    def loss_fn(params):
-        m = model.with_params(params)
-        res = render_model(
-            m, camera, vm, campos, bg, sh_degree=3, config=cfg
-        )
-        return loss_ops.l1_loss(res.image, gt)
+    def make_step(loss):
+        def loss_fn(params):
+            m = model.with_params(params)
+            res = render_model(
+                m, camera, vm, campos, bg, sh_degree=3, config=cfg
+            )
+            return loss(res.image, gt)
 
-    step = jax.jit(jax.grad(loss_fn))
+        return jax.jit(jax.grad(loss_fn))
+
+    def timeit(step, params, n_iter=10):
+        g = step(params)  # warmup/compile
+        jax.block_until_ready(g)
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            g = step(params)
+        jax.block_until_ready(g)
+        return (time.perf_counter() - t0) / n_iter
+
     params = model.params()
-
-    # warmup/compile
-    g = step(params)
-    jax.block_until_ready(g)
-
-    n_iter = 10
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        g = step(params)
-    jax.block_until_ready(g)
-    dt = (time.perf_counter() - t0) / n_iter
-
+    # headline metric: L1-only loss — PINNED since round 2 for trend
+    # comparability (VERDICT r2 weak #1)
+    dt = timeit(make_step(loss_ops.l1_loss), params)
     pixels_per_s = W * H / dt
+    # protocol-step metric: the real training loss 0.8·L1 + 0.2·(1−SSIM)
+    # (≡ /root/reference/src/gaussian_mapper.cpp:403-413) so px/s also
+    # covers the SSIM conv + VJP cost (VERDICT r2 item 5)
+    dt_proto = timeit(make_step(loss_ops.training_loss), params)
+    proto_pixels_per_s = W * H / dt_proto
 
     # composited depth for the roofline bound — ONE extra compiled program
     # (compile time matters: the tunneled chip's remote-compile service can
@@ -88,8 +95,9 @@ def main():
         inst = bin_instances(prep, gx, gy, cfg.max_instances, tile_cull=True)
         return jnp.sum(inst.counts)
 
-    mean_depth = float(composited_count()) / (gx * gy)
-    roof = roofline_report(W * H, dt, mean_depth)
+    live = int(composited_count())
+    mean_depth = live / (gx * gy)
+    roof = roofline_report(W * H, dt, mean_depth, num_instances=live)
 
     baseline = 8.3e7  # 3090-class fwd+bwd px/s estimate (see docstring)
     print(
@@ -99,6 +107,7 @@ def main():
                 "value": round(pixels_per_s, 1),
                 "unit": "pixels/s",
                 "vs_baseline": round(pixels_per_s / baseline, 4),
+                "protocol_loss_px_s": round(proto_pixels_per_s, 1),
                 "mean_instances_per_tile": round(mean_depth, 1),
                 "fraction_of_roofline": round(
                     roof["fraction_of_roofline"], 4

@@ -17,7 +17,7 @@ x = jnp.full((n,m), float(random.random()))
 print("probe ok:", float((x@x.T).sum()), flush=True)
 PY
 }
-run_stage() { # name cmd timeout
+run_stage() { # name timeout cmd...
   local name=$1 tmo=$2; shift 2
   if [ -f /tmp/chip_pipe/$name.ok ]; then return 0; fi
   log "stage $name start"

@@ -3,11 +3,12 @@
 # (scripts/360roam_run.py:22-34 analog): train 32010 iters with eval/ckpt
 # every 8000, then held-out test eval at 8000 and 32000.
 # Usage: protocol_run.sh SCENE_DIR RESULT_DIR [EXTRA_TRAIN_ARGS...]
-set -u
+set -u -o pipefail
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcomp
 SCENE=${1:-/root/scene_fullres}
 OUT=${2:-/root/proto_out}
-shift 2 2>/dev/null || true
+[ $# -ge 1 ] && shift
+[ $# -ge 1 ] && shift
 # PY override runs the entry points through a launcher (e.g.
 # "python scripts/cpu_run.py" for host-side shakeout while the chip is busy).
 PY=${PY:-python}

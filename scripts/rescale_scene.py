@@ -27,6 +27,9 @@ for name in ("sfm_data_train.json", "sfm_data_test.json"):
             p["height"] //= div
     (dst / name).write_text(json.dumps(d))
 shutil.copy(src / "points.ply", dst / "points.ply")
-# images dir is shared by reference, not copied
-(dst / "images").symlink_to(src / "images")
+# images dir is shared by reference, not copied; resolve the target so a
+# relative SCENE_DIR doesn't produce a dangling link, and allow reruns
+link = dst / "images"
+link.unlink(missing_ok=True)
+link.symlink_to((src / "images").resolve())
 print("rescaled", src, "->", dst, "/", div)
