@@ -28,6 +28,14 @@ def main():
     ap.add_argument("--image-root", default=None)
     ap.add_argument("--iters", type=int, default=0)
     ap.add_argument("--log-every", type=int, default=100)
+    ap.add_argument(
+        "--viewer", type=int, default=0, metavar="PORT",
+        help="serve the live interactive viewer (with the VariableParameters"
+        " editor wired to this training run) on PORT while training — the"
+        " analog of the reference's viewer thread"
+        " (examples/train_360roam.cpp:318-324)",
+    )
+    ap.add_argument("--viewer-width", type=int, default=960)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -66,6 +74,11 @@ def main():
     save_model_params(
         out, cfg.model.sh_degree, cfg.model.white_background, args.sfm_json, str(out)
     )
+
+    if args.viewer:
+        from omnigs_tpu.viewer.live import start_live_viewer
+
+        start_live_viewer(tr, scene, cfg, args.viewer, args.viewer_width)
 
     n_iters = args.iters or cfg.opt.max_num_iterations
     record_interval = cfg.mapper.all_keyframes_record_interval

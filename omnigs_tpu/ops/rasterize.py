@@ -73,6 +73,12 @@ class RasterConfig:
     # tight per-tile segments, kernels mask the unaligned head lanes —
     # ~tiles·chunk fewer rows through the sort/gather/scatter stages.
     ghost_align: bool = False
+    # n_contrib contribution-rank output (diagnostic; nothing in the
+    # training/eval path consumes it — our backward recomputes
+    # transmittances rather than seeding from it like the reference,
+    # `backward.cu:700-712`). False skips ~10 VPU ops per pixel-instance
+    # pair in the Pallas forward and returns zeros.
+    want_ncontrib: bool = True
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -451,6 +457,7 @@ def rasterize(
             inst.seg_hi,
             gx * gy,
             config.interpret,
+            config.want_ncontrib,
         )
         overflow = jnp.zeros((), jnp.int32)  # no per-tile cap in this path
     else:

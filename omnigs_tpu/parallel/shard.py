@@ -134,6 +134,7 @@ def _render_image_sharded(
             None,
             tiles_per_dev,
             cfg.interpret,
+            cfg.want_ncontrib,
         )
         tiles_cmajor = color_t  # already (T_w, 3, PX)
     else:

@@ -216,10 +216,19 @@ def main():
             f"({'OK' if this_ok else 'FAIL'})"
         )
 
-    # Committed golden arrays (tests/goldens/*.npz, pinned from the oracle)
-    # checked with the COMPILED Pallas kernels on chip — the on-hardware leg
-    # of tests/test_goldens.py (interpret mode can pass while compiled
-    # Mosaic diverges).
+    # Committed golden arrays (tests/goldens/*.npz, pinned from the oracle
+    # on CPU) checked with the COMPILED Pallas kernels on chip — the
+    # on-hardware leg of tests/test_goldens.py (interpret mode can pass
+    # while compiled Mosaic diverges). Two tolerances:
+    #   * vs the on-chip XLA backend at the SAME inputs: TIGHT (2e-3) —
+    #     both backends share the chip's transcendental implementations, so
+    #     any gap here is a Mosaic kernel bug;
+    #   * vs the CPU-pinned goldens: HARDWARE tolerance (3e-2 rel) — the
+    #     TPU's exp/log differ from CPU libm by a few ULP and the
+    #     compositing chain amplifies them (round-3 gate finding: compiled
+    #     Pallas ~1e-2 off the CPU goldens while agreeing with on-chip XLA
+    #     to 6e-5 at the larger cross-backend configs); this leg only
+    #     catches gross semantic drift.
     import numpy as np
 
     golden_dir = _Path(__file__).resolve().parent.parent / "tests" / "goldens"
@@ -233,54 +242,63 @@ def main():
         gcfg = RasterConfig(
             max_instances=1 << 15, backend="pallas", tile_culling=True,
         )
+        gcfg_x = RasterConfig(max_instances=1 << 15, tile_cap=256, chunk=32)
         args = tuple(
             jnp.asarray(data[f"in_{k}"])
             for k in ("means3d", "scales", "quats", "opacities", "shs")
         )
-        res = jax.jit(
-            lambda *a: rasterize(
-                *a, camera=gcam, viewmatrix=jnp.eye(4), campos=jnp.zeros(3),
-                bg=jnp.array([0.1, 0.2, 0.3]), sh_degree=gdeg, config=gcfg,
-            )
-        )(*args)
-        goerr = float(jnp.abs(res.image - jnp.asarray(data["image"])).max())
-        this_ok = goerr < 1e-3
-        golden_ok = golden_ok and this_ok
-        print(
-            f"golden[{fname}] on-chip max image error: {goerr:.6f}  "
-            f"({'OK' if this_ok else 'FAIL'})"
-        )
-        # …and the pinned input gradients: the on-hardware leg of the
-        # backward (compiled Mosaic bwd kernel + the live-bound chunked
-        # gradient reduction, a while_loop whose CPU-interpret semantics
-        # could in principle diverge under the TPU compiler).
         w = jnp.asarray(data["loss_w"])
-        ggrads = jax.jit(
-            jax.grad(
-                lambda *a: jnp.sum(
-                    rasterize(
-                        *a, camera=gcam, viewmatrix=jnp.eye(4),
-                        campos=jnp.zeros(3), bg=jnp.array([0.1, 0.2, 0.3]),
-                        sh_degree=gdeg, config=gcfg,
-                    ).image
-                    * w
-                ),
-                argnums=(0, 1, 2, 3, 4),
-            )
-        )(*args)
-        for garr, gname in zip(
-            ggrads,
-            ("g_means3d", "g_scales", "g_quats", "g_opacities", "g_shs"),
+
+        def run(cfg):
+            def fwd(*a):
+                return rasterize(
+                    *a, camera=gcam, viewmatrix=jnp.eye(4),
+                    campos=jnp.zeros(3), bg=jnp.array([0.1, 0.2, 0.3]),
+                    sh_degree=gdeg, config=cfg,
+                )
+
+            img = jax.jit(lambda *a: fwd(*a).image)(*args)
+            grads = jax.jit(
+                jax.grad(
+                    lambda *a: jnp.sum(fwd(*a).image * w),
+                    argnums=(0, 1, 2, 3, 4),
+                )
+            )(*args)
+            return img, grads
+
+        p_img, p_grads = run(gcfg)
+        x_img, x_grads = run(gcfg_x)
+
+        for ref_img, ref_grads, tag, tol_i, tol_g in (
+            (x_img, x_grads, "vs-chip-xla", 2e-3, 2e-3),
+            (
+                jnp.asarray(data["image"]),
+                [jnp.asarray(data[k]) for k in (
+                    "g_means3d", "g_scales", "g_quats", "g_opacities",
+                    "g_shs",
+                )],
+                "vs-cpu-golden", 3e-2, 3e-2,
+            ),
         ):
-            ref = jnp.asarray(data[gname])
-            gscale = float(jnp.abs(ref).max()) or 1.0
-            ggerr = float(jnp.abs(garr - ref).max()) / gscale
-            g_ok = ggerr < 2e-3
-            golden_ok = golden_ok and g_ok
+            goerr = float(jnp.abs(p_img - ref_img).max())
+            this_ok = goerr < tol_i
+            golden_ok = golden_ok and this_ok
             print(
-                f"golden[{fname}] on-chip {gname} rel err: {ggerr:.2e}  "
-                f"({'OK' if g_ok else 'FAIL'})"
+                f"golden[{fname}] {tag} max image error: {goerr:.6f}  "
+                f"({'OK' if this_ok else 'FAIL'})"
             )
+            for garr, ref, gname in zip(
+                p_grads, ref_grads,
+                ("g_means3d", "g_scales", "g_quats", "g_opacities", "g_shs"),
+            ):
+                gscale = float(jnp.abs(jnp.asarray(ref)).max()) or 1.0
+                ggerr = float(jnp.abs(garr - jnp.asarray(ref)).max()) / gscale
+                g_ok = ggerr < tol_g
+                golden_ok = golden_ok and g_ok
+                print(
+                    f"golden[{fname}] {tag} {gname} rel err: {ggerr:.2e}  "
+                    f"({'OK' if g_ok else 'FAIL'})"
+                )
 
     sys.exit(0 if (ok and xok and gok and pok and golden_ok) else 1)
 

@@ -17,9 +17,13 @@ from omnigs_tpu.train.renderer import render_model
 
 from helpers import random_cloud
 
-pytestmark = pytest.mark.skipif(
-    jax.device_count() < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        jax.device_count() < 8, reason="needs 8 virtual devices"
+    ),
+    # ~9.5 min of Pallas-interpret across 8 virtual devices — the slow tier
+    pytest.mark.slow,
+]
 
 CFG = RasterConfig(max_instances=1 << 12, tile_cap=64, chunk=16)
 PAL_CFG = RasterConfig(

@@ -92,6 +92,69 @@ def test_viewer_serves_page_and_frames():
         httpd.shutdown()
 
 
+def test_live_viewer_during_training():
+    """Viewer thread alongside a real Trainer (≡ train_360roam.cpp:318-324):
+    frames render from the live model while training advances, and a /params
+    POST changes the running trainer's hyperparameters."""
+    import dataclasses
+
+    from omnigs_tpu.config import Config
+    from omnigs_tpu.train.trainer import Trainer
+    from omnigs_tpu.viewer.live import make_live_render_fn
+    from test_trainer import _make_scene
+
+    camera = Camera(CameraType.LONLAT, 32, 16)
+    scene = _make_scene(camera, n_views=2, seed=5)
+    cfg = Config()
+    cfg.tpu = dataclasses.replace(
+        cfg.tpu, capacity=64, max_instances=1 << 12, tile_cap=64, chunk=8
+    )
+    cfg.opt.densify_from_iter = 1000
+    cfg.opt.opacity_reset_interval = 0
+
+    tr = Trainer(scene, cfg)
+    tr.init_from_sfm()
+
+    render_fn, w, h = make_live_render_fn(tr, scene, cfg, width=32)
+    state = ViewerState(
+        render_fn, w, h,
+        params_get=tr.get_variable_parameters,
+        params_set=tr.set_variable_parameters,
+    )
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        def frame():
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/render",
+                data=json.dumps({"mode": "color"}).encode(),
+                method="POST",
+            )
+            return urllib.request.urlopen(req, timeout=120).read()
+
+        jpg0 = frame()
+        assert jpg0[:2] == b"\xff\xd8"
+        tr.train_iteration()
+        tr.train_iteration()
+        jpg1 = frame()  # renders the trained (mutated) model
+        assert jpg1[:2] == b"\xff\xd8"
+
+        # live tuning reaches the RUNNING trainer
+        before = tr.get_variable_parameters()
+        assert "lambda_dssim" in before
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/params",
+            data=json.dumps({"lambda_dssim": 0.42}).encode(),
+            method="POST",
+        )
+        urllib.request.urlopen(req, timeout=30).read()
+        assert tr.get_variable_parameters()["lambda_dssim"] == 0.42
+        tr.train_iteration()  # still trains after the change
+    finally:
+        httpd.shutdown()
+
+
 def test_trainer_checkpoint_resume(tmp_path):
     """Full-state resume continues bit-exact from the same model/opt state."""
     import dataclasses
