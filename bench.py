@@ -35,6 +35,10 @@ def main():
     cfg = RasterConfig(
         max_instances=1 << 21, backend="pallas", tight_culling=True,
         tile_culling=True, aligned_cap=14 << 17,
+        # round-3 production knobs (both chip-gated by check_jit_parity's
+        # full-scale grad leg): reduction fused into the bwd kernel;
+        # n_contrib diagnostic off in the training step
+        fused_reduce=True, want_ncontrib=False,
     )
     model = _example_model(capacity=P, n=P)
     vm = jnp.eye(4)

@@ -349,6 +349,91 @@ def _bwd_kernel(
     jax.lax.fori_loop(0, TPB, tile_loop, 0)
 
 
+def _bwd_chunk_math(
+    data, Ub, Ut, cx, cy, count, kbase, dL, dLT, dL_dot_Cfull, N,
+    dL_dot_prefix,
+):
+    """One chunk of the backward: per-instance gradient rows + carries.
+
+    Returns (gdata (NROWS, CHUNK), N_new, dL_dot_prefix_new).
+    """
+    a, live, opG, xg, yg, A, B, C, op, _ = _chunk_alpha(
+        data, Ub, cx, cy, count, kbase
+    )
+    one_m = 1.0 - a
+    l = jnp.log1p(-a)
+    N_excl = N * jnp.exp(_lane_cumsum(l, exclusive=True))
+    N_incl = N_excl * one_m
+    contrib = N_incl >= T_STOP
+    gate = live & contrib
+    w = a * N_excl * contrib
+    rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
+
+    # u_i = Σ_ch dL_ch·c_i_ch per (pixel, instance)
+    u = jnp.dot(
+        dL, rgbT, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # Σ_ch dL_ch·cumsum_incl(w·c_ch) — the per-row dL scale commutes with
+    # the (linear) triangular multiply, so the 3 per-channel tri-matmuls
+    # collapse into one: (w ⊙ u) @ M
+    dl_wc_cum = _lane_cumsum(w * u)
+    # B_i = C_full − prefix − wc_prefix_incl  (dotted with dL)
+    dL_dot_B = dL_dot_Cfull - dL_dot_prefix - dl_wc_cum
+
+    dL_da = jnp.where(gate, N_excl * u - dL_dot_B / one_m, 0.0)
+
+    # All six geometry rows are moments of V = dL_dG·G = dL_dα·op·G
+    # (0.99-clamp ignored, reference parity, backward.cu:821):
+    #   d x  = −(A·ΣVdx + B·ΣVdy),  d y = −(C·ΣVdy + B·ΣVdx)
+    #   dA   = −½ ΣVdx², dB = −ΣVdxdy, dC = −½ ΣVdy²,  d op = ΣV / op
+    # and with dx = xg − u, dy = yg − v every ΣV·dxᵃdyᵇ moment expands
+    # over the SAME static pixel basis as the forward exponent:
+    # S = Uᵀ @ V gives [ΣV, ΣVu, ΣVv, ΣVu², ΣVuv, ΣVv²] in ONE MXU
+    # matmul; the dx/dy recombination is all narrow (1, CHUNK) algebra.
+    # (Replaces two wide products + six sublane reductions per chunk.)
+    V = dL_da * opG
+    S = jnp.dot(
+        Ut, V, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (6, CHUNK)
+    S0, S1, S2 = S[0:1, :], S[1:2, :], S[2:3, :]
+    S3, S4, S5 = S[3:4, :], S[4:5, :], S[5:6, :]
+    sVdx = xg * S0 - S1
+    sVdy = yg * S0 - S2
+    sVdxdx = xg * xg * S0 - 2.0 * xg * S1 + S3
+    sVdxdy = xg * yg * S0 - xg * S2 - yg * S1 + S4
+    sVdydy = yg * yg * S0 - 2.0 * yg * S2 + S5
+    inv_op = jnp.where(op > 0.0, 1.0 / op, 0.0)
+    # per-instance color grads: one (3, PX) @ (PX, CHUNK) matmul
+    drgb = jnp.dot(
+        dLT, w, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (3, CHUNK)
+
+    zero_row = jnp.zeros((1, CHUNK), jnp.float32)
+    rows = [
+        -(A * sVdx + B * sVdy),  # d x
+        -(C * sVdy + B * sVdx),  # d y
+        -0.5 * sVdxdx,  # dA
+        -sVdxdy,  # dB
+        -0.5 * sVdydy,  # dC
+        S0 * inv_op,  # d opacity
+        drgb[0:1, :],
+        drgb[1:2, :],
+        drgb[2:3, :],
+    ]
+    rows += [zero_row] * (NROWS - len(rows))
+    gdata = jnp.concatenate(rows, axis=0)
+
+    # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch — exactly the
+    # last lane of the inclusive (w·u) cumsum (Σ_i w_i·(Σ_ch dL_ch c_i_ch))
+    dL_dot_prefix = dL_dot_prefix + dl_wc_cum[:, CHUNK - 1 :]
+    # ungated log-transmittance total = last lane of the tri cumsum
+    N = N_excl[:, CHUNK - 1 :] * one_m[:, CHUNK - 1 :]
+    return gdata, N, dL_dot_prefix
+
+
 def _bwd_tile(
     t,
     i,
@@ -423,75 +508,10 @@ def _bwd_tile(
             get_dma(1 - slot, c + 1).start()
 
         get_dma(slot, c).wait()
-        data = buf[slot]
-        a, live, opG, xg, yg, A, B, C, op, _ = _chunk_alpha(
-            data, Ub, cx, cy, count, c * CHUNK - head
+        gdata, N, dL_dot_prefix = _bwd_chunk_math(
+            buf[slot], Ub, Ut, cx, cy, count, c * CHUNK - head,
+            dL, dLT, dL_dot_Cfull, N, dL_dot_prefix,
         )
-        one_m = 1.0 - a
-        l = jnp.log1p(-a)
-        N_excl = N * jnp.exp(_lane_cumsum(l, exclusive=True))
-        N_incl = N_excl * one_m
-        contrib = N_incl >= T_STOP
-        gate = live & contrib
-        w = a * N_excl * contrib
-        rgbT = data[_R : _B3 + 1, :]  # (3, CHUNK)
-
-        # u_i = Σ_ch dL_ch·c_i_ch per (pixel, instance)
-        u = jnp.dot(
-            dL, rgbT, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        # Σ_ch dL_ch·cumsum_incl(w·c_ch) — the per-row dL scale commutes with
-        # the (linear) triangular multiply, so the 3 per-channel tri-matmuls
-        # collapse into one: (w ⊙ u) @ M
-        dl_wc_cum = _lane_cumsum(w * u)
-        # B_i = C_full − prefix − wc_prefix_incl  (dotted with dL)
-        dL_dot_B = dL_dot_Cfull - dL_dot_prefix - dl_wc_cum
-
-        dL_da = jnp.where(gate, N_excl * u - dL_dot_B / one_m, 0.0)
-
-        # All six geometry rows are moments of V = dL_dG·G = dL_dα·op·G
-        # (0.99-clamp ignored, reference parity, backward.cu:821):
-        #   d x  = −(A·ΣVdx + B·ΣVdy),  d y = −(C·ΣVdy + B·ΣVdx)
-        #   dA   = −½ ΣVdx², dB = −ΣVdxdy, dC = −½ ΣVdy²,  d op = ΣV / op
-        # and with dx = xg − u, dy = yg − v every ΣV·dxᵃdyᵇ moment expands
-        # over the SAME static pixel basis as the forward exponent:
-        # S = Uᵀ @ V gives [ΣV, ΣVu, ΣVv, ΣVu², ΣVuv, ΣVv²] in ONE MXU
-        # matmul; the dx/dy recombination is all narrow (1, CHUNK) algebra.
-        # (Replaces two wide products + six sublane reductions per chunk.)
-        V = dL_da * opG
-        S = jnp.dot(
-            Ut, V, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (6, CHUNK)
-        S0, S1, S2 = S[0:1, :], S[1:2, :], S[2:3, :]
-        S3, S4, S5 = S[3:4, :], S[4:5, :], S[5:6, :]
-        sVdx = xg * S0 - S1
-        sVdy = yg * S0 - S2
-        sVdxdx = xg * xg * S0 - 2.0 * xg * S1 + S3
-        sVdxdy = xg * yg * S0 - xg * S2 - yg * S1 + S4
-        sVdydy = yg * yg * S0 - 2.0 * yg * S2 + S5
-        inv_op = jnp.where(op > 0.0, 1.0 / op, 0.0)
-        # per-instance color grads: one (3, PX) @ (PX, CHUNK) matmul
-        drgb = jnp.dot(
-            dLT, w, preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (3, CHUNK)
-
-        zero_row = jnp.zeros((1, CHUNK), jnp.float32)
-        rows = [
-            -(A * sVdx + B * sVdy),  # d x
-            -(C * sVdy + B * sVdx),  # d y
-            -0.5 * sVdxdx,  # dA
-            -sVdxdy,  # dB
-            -0.5 * sVdydy,  # dC
-            S0 * inv_op,  # d opacity
-            drgb[0:1, :],
-            drgb[1:2, :],
-            drgb[2:3, :],
-        ]
-        rows += [zero_row] * (NROWS - len(rows))
-        gdata = jnp.concatenate(rows, axis=0)
 
         # chunk 0 (possibly shared with the previous tile) → private heads
         # slot, merged by a scatter-add outside the kernel
@@ -511,13 +531,6 @@ def _bwd_tile(
             gbuf[jax.lax.rem(c, 2)] = gdata
             out_dma(c).start()
 
-        # prefix update: Σ_ch dL_ch · Σ_{j≤chunk-end} w_j c_j_ch — exactly
-        # the last lane of the inclusive (w·u) cumsum already computed
-        # (Σ_i w_i·(Σ_ch dL_ch c_i_ch)); the old per-chunk color matmul +
-        # wide dot-reduce were redundant
-        dL_dot_prefix = dL_dot_prefix + dl_wc_cum[:, CHUNK - 1 :]
-        # ungated log-transmittance total = last lane of the tri cumsum
-        N = N_excl[:, CHUNK - 1 :] * one_m[:, CHUNK - 1 :]
         return c + 1, N, dL_dot_prefix
 
     init = (
@@ -541,6 +554,193 @@ def _bwd_tile(
     @pl.when(c_final - 1 >= 1)
     def _():
         out_dma(c_final - 1).wait()
+
+
+def _bwd_kernel_fused(
+    # scalar prefetch
+    starts_ref,
+    counts_ref,
+    x0_ref,
+    y0_ref,
+    # inputs
+    inst_ref,  # (NROWS, R_pad) HBM
+    ids_ref,  # (1, R_pad) int32 HBM — slab position → gaussian id
+    color_full_ref,  # (1, TPB, 3·PX)
+    dcolor_ref,  # (1, TPB, 3·PX)
+    # outputs
+    acc_ref,  # (NROWS, P_pad) VMEM — SAME block every program
+    # scratch
+    buf,  # (2, NROWS, CHUNK) VMEM
+    idbuf,  # (2, 1, CHUNK) SMEM
+    sems,  # DMA(2)
+    idsems,  # DMA(2)
+):
+    """Backward with the instance→Gaussian reduction FUSED into the kernel.
+
+    Instead of writing per-instance gradient rows back to HBM (and paying a
+    serial ~17 ns/row XLA scatter-add afterwards), each chunk's gradient
+    columns are accumulated directly into a VMEM-resident (NROWS, P)
+    per-Gaussian table by per-instance dynamic-lane adds. The TPU grid is
+    sequential, so the accumulator block (same index every program)
+    persists across programs and carries no races; a chunk shared by two
+    tiles is simply visited twice, each visit adding only its own tile's
+    gated (elsewhere-zero) lanes — the heads/write-back machinery of the
+    unfused kernel disappears entirely. Requires the accumulator to fit
+    VMEM: P ≤ ~200k f32 rows (see FUSED_REDUCE_MAX_P).
+    """
+    pid = pl.program_id(0)
+    Ub = _u_basis().astype(jnp.bfloat16)
+    Ut = _ut_basis()
+
+    @pl.when(pid == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def tile_loop(i, _):
+        t = pid * TPB + i
+        start = starts_ref[t]
+        count = counts_ref[t]
+        cx = x0_ref[t].astype(jnp.float32) + _HALF
+        cy = y0_ref[t].astype(jnp.float32) + _HALF
+        base = (start // CHUNK) * CHUNK
+        head = start - base
+        n_chunks = pl.cdiv(head + count, CHUNK)
+
+        color_full = color_full_ref[0, i].reshape(3, PX).T  # (PX, 3)
+        dLT = dcolor_ref[0, i].reshape(3, PX)  # (3, PX)
+        dL = dLT.T
+        dL_dot_Cfull = jnp.sum(dL * color_full, axis=1, keepdims=True)
+
+        def get_dma(slot, c):
+            off = pl.multiple_of(base + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot],
+                sems.at[slot],
+            )
+
+        def get_iddma(slot, c):
+            off = pl.multiple_of(base + c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                ids_ref.at[:, pl.ds(off, CHUNK)], idbuf.at[slot],
+                idsems.at[slot],
+            )
+
+        @pl.when(n_chunks > 0)
+        def _():
+            get_dma(0, 0).start()
+            get_iddma(0, 0).start()
+
+        def cond(carry):
+            c, N, _ = carry
+            return (c < n_chunks) & (jnp.max(N) >= T_STOP)
+
+        def body(carry):
+            c, N, dL_dot_prefix = carry
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_chunks)
+            def _():
+                get_dma(1 - slot, c + 1).start()
+                get_iddma(1 - slot, c + 1).start()
+
+            get_dma(slot, c).wait()
+            get_iddma(slot, c).wait()
+            gdata, N, dL_dot_prefix = _bwd_chunk_math(
+                buf[slot], Ub, Ut, cx, cy, count, c * CHUNK - head,
+                dL, dLT, dL_dot_Cfull, N, dL_dot_prefix,
+            )
+
+            # per-instance accumulate: gated lanes of other tiles are zero
+            def inner(j, _):
+                gid = idbuf[slot, 0, j]
+                col = jax.lax.dynamic_slice_in_dim(gdata, j, 1, axis=1)
+                acc_ref[:, pl.ds(gid, 1)] += col
+                return 0
+
+            jax.lax.fori_loop(0, CHUNK, inner, 0, unroll=4)
+            return c + 1, N, dL_dot_prefix
+
+        init = (
+            jnp.int32(0),
+            jnp.ones((PX, 1), jnp.float32),
+            jnp.zeros((PX, 1), jnp.float32),
+        )
+        c_final, _, _ = jax.lax.while_loop(cond, body, init)
+
+        # drain in-flight prefetches on early termination
+        @pl.when(c_final < n_chunks)
+        def _():
+            get_dma(jax.lax.rem(c_final, 2), c_final).wait()
+            get_iddma(jax.lax.rem(c_final, 2), c_final).wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, TPB, tile_loop, 0)
+
+
+# VMEM budget for the fused-reduce accumulator: (NROWS, P) f32 must fit the
+# ~16 MB VMEM alongside the chunk buffers — 160k gaussians ≈ 10 MB.
+FUSED_REDUCE_MAX_P = 160 * 1024
+
+
+def composite_pallas_bwd_fused(
+    inst_T: jnp.ndarray,
+    ids: jnp.ndarray,  # (R_pad,) int32 slab → gaussian
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    x0: jnp.ndarray,
+    y0: jnp.ndarray,
+    color_full: jnp.ndarray,  # (T, 3, PX)
+    dcolor: jnp.ndarray,  # (T, 3, PX)
+    num_tiles: int,
+    num_gaussians: int,
+    interpret: bool = False,
+):
+    """Fused-reduce backward → (P_pad, 9) per-GAUSSIAN gradients."""
+    n_prog = -(-num_tiles // TPB)
+    t_pad = n_prog * TPB
+    starts, counts, x0, y0 = (
+        jnp.pad(a, (0, t_pad - num_tiles)) for a in (starts, counts, x0, y0)
+    )
+    color_full = jnp.pad(
+        color_full.reshape(num_tiles, 3 * PX),
+        ((0, t_pad - num_tiles), (0, 0)),
+    ).reshape(n_prog, TPB, 3 * PX)
+    dcolor = jnp.pad(
+        dcolor.reshape(num_tiles, 3 * PX), ((0, t_pad - num_tiles), (0, 0))
+    ).reshape(n_prog, TPB, 3 * PX)
+    p_pad = -(-num_gaussians // CHUNK) * CHUNK
+    r_pad = inst_T.shape[1]
+    ids = jnp.pad(ids, (0, r_pad - ids.shape[0])).astype(jnp.int32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, TPB, 3 * PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TPB, 3 * PX), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (NROWS, p_pad), lambda i, *_: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            pltpu.SMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    (acc,) = pl.pallas_call(
+        _bwd_kernel_fused,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((NROWS, p_pad), jnp.float32)],
+        interpret=interpret,
+    )(starts, counts, x0, y0, inst_T, ids[None, :], color_full, dcolor)
+    return acc[:9, :num_gaussians].T  # (P, 9)
 
 
 def _pad_instances(max_instances: int) -> int:
@@ -733,7 +933,7 @@ def _int_ct(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
 def composite_instances(
     means2d,
     conic,
@@ -751,6 +951,7 @@ def composite_instances(
     num_tiles,
     interpret,
     want_ncontrib=True,
+    fused_reduce=False,
 ):
     """Pallas-backed compositing of depth-sorted instances.
 
@@ -775,6 +976,7 @@ def composite_instances(
 def _ci_fwd(
     means2d, conic, rgb, opacity, bg, sorted_g, starts, counts, x0, y0,
     sorted_e, seg_lo, seg_hi, num_tiles, interpret, want_ncontrib=True,
+    fused_reduce=False,
 ):
     inst_T = _build_inst(
         means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts)
@@ -800,7 +1002,7 @@ def _ci_fwd(
     return (color_full, finalT, ncontrib), res
 
 
-def _ci_bwd(num_tiles, interpret, want_ncontrib, res, cts):
+def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
     (
         inst_T,
         sorted_g,
@@ -816,6 +1018,15 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, res, cts):
         P,
     ) = res
     dcolor = cts[0]
+    if fused_reduce and sorted_e is None and P <= FUSED_REDUCE_MAX_P:
+        # per-Gaussian grads straight out of the kernel (reduction fused
+        # into the backward's chunk loop — no HBM grad slab, no scatter)
+        acc = composite_pallas_bwd_fused(
+            inst_T, sorted_g, starts, counts, x0, y0, color_full, dcolor,
+            num_tiles, P, interpret,
+        )
+        return _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g,
+                            starts, counts, x0, y0, bg)
     dinst = composite_pallas_bwd(
         inst_T, starts, counts, x0, y0, color_full, dcolor, num_tiles,
         interpret,
@@ -871,6 +1082,12 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, res, cts):
             _add_chunk,
             (jnp.zeros((P, 9)), jnp.int32(0)),
         )
+    return _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g, starts,
+                        counts, x0, y0, bg)
+
+
+def _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g, starts, counts,
+                 x0, y0, bg):
     dm2d = acc[:, 0:2]
     dcon = acc[:, 2:5]
     dop = acc[:, 5]

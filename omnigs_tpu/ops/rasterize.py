@@ -79,6 +79,12 @@ class RasterConfig:
     # `backward.cu:700-712`). False skips ~10 VPU ops per pixel-instance
     # pair in the Pallas forward and returns zeros.
     want_ncontrib: bool = True
+    # fuse the instance→Gaussian gradient reduction into the Pallas
+    # backward kernel (VMEM-resident per-Gaussian accumulator, no HBM grad
+    # slab / serial scatter-add). Applies when P ≤ FUSED_REDUCE_MAX_P
+    # (accumulator must fit VMEM) and the segment-diff path is off;
+    # otherwise falls back to the unfused backward automatically.
+    fused_reduce: bool = False
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -458,6 +464,7 @@ def rasterize(
             gx * gy,
             config.interpret,
             config.want_ncontrib,
+            config.fused_reduce,
         )
         overflow = jnp.zeros((), jnp.int32)  # no per-tile cap in this path
     else:

@@ -135,6 +135,7 @@ def _render_image_sharded(
             tiles_per_dev,
             cfg.interpret,
             cfg.want_ncontrib,
+            cfg.fused_reduce,
         )
         tiles_cmajor = color_t  # already (T_w, 3, PX)
     else:

@@ -175,10 +175,12 @@ def main():
         f"(mean |img| {pmean:.4f})  ({'OK' if pok else 'FAIL'})"
     )
 
-    # Gradient parity at full bench scale: the compact layout's backward
-    # (cross-tile boundary-chunk carry, compiled Mosaic) vs the ghost-aligned
-    # layout (disjoint per-tile writes). Same composited sequence — grads
-    # must agree to accumulation-order noise.
+    # Gradient parity at full bench scale: the compact layout's backward —
+    # with the round-3 production knobs: FUSED in-kernel gradient reduction
+    # and want_ncontrib off (exactly bench.py's config) — vs the
+    # ghost-aligned layout's unfused scatter-add backward. Same composited
+    # sequence through two independent reduction paths — grads must agree
+    # to accumulation-order noise.
     import dataclasses
 
     from omnigs_tpu.ops import loss as loss_ops
@@ -189,6 +191,7 @@ def main():
     cfg_c = RasterConfig(
         max_instances=1 << 21, backend="pallas", tight_culling=True,
         tile_culling=True, aligned_cap=14 << 17,
+        fused_reduce=True, want_ncontrib=False,
     )
     cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=20 << 17)
 

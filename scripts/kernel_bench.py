@@ -162,6 +162,28 @@ def main():
     if want("bwd"):
         print(f"bwd kernel            {timeit(bwd_j, inst_T, inst.starts, inst.counts, color_full, dcolor):8.2f} ms")
 
+    if want("fwd_nc"):
+        fwdnc_j = jax.jit(
+            lambda iT, s, c: pr.composite_pallas_fwd(
+                iT, s, c, x0, y0, num_tiles, want_ncontrib=False
+            )
+        )
+        jax.block_until_ready(fwdnc_j(inst_T, inst.starts, inst.counts))
+        print(f"fwd kernel (no nctr)  {timeit(fwdnc_j, inst_T, inst.starts, inst.counts):8.2f} ms")
+
+    if want("bwd_fused") and P <= pr.FUSED_REDUCE_MAX_P:
+        bwdf_j = jax.jit(
+            lambda iT, ids, s, c, cf, dc: pr.composite_pallas_bwd_fused(
+                iT, ids, s, c, x0, y0, cf, dc, num_tiles, P
+            )
+        )
+        outf = bwdf_j(
+            inst_T, inst.sorted_g, inst.starts, inst.counts, color_full,
+            dcolor,
+        )
+        jax.block_until_ready(outf)
+        print(f"bwd fused (kern+red)  {timeit(bwdf_j, inst_T, inst.sorted_g, inst.starts, inst.counts, color_full, dcolor):8.2f} ms")
+
     if want("red"):
         r = inst.sorted_g.shape[0]
 

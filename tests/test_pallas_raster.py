@@ -95,6 +95,44 @@ def test_pallas_bwd_matches_xla():
         )
 
 
+def test_pallas_fused_reduce_grads_match():
+    """fused_reduce=True (in-kernel per-Gaussian accumulation) must produce
+    the same gradients as the unfused scatter-add path."""
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    params = random_cloud(jax.random.PRNGKey(7), 48)
+    bg = jnp.array([0.2, 0.1, 0.0])
+    vm = jnp.eye(4)
+    campos = jnp.zeros(3)
+    target = jnp.linspace(1, 0, 32 * 64 * 3).reshape(3, 32, 64)
+    cfg_f = dataclasses.replace(PAL_CFG, fused_reduce=True, tile_culling=True)
+    cfg_u = dataclasses.replace(PAL_CFG, tile_culling=True)
+
+    def loss(cfg):
+        def f(means, scales, quats, opac, shs):
+            p = dict(
+                means3d=means, scales=scales, quats=quats, opacities=opac,
+                shs=shs,
+            )
+            res = _render(p, camera, vm, campos, bg, 2, cfg)
+            return jnp.mean((res.image - target) ** 2)
+
+        return f
+
+    args = (
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], params["shs"],
+    )
+    g_u = jax.grad(loss(cfg_u), argnums=(0, 1, 2, 3, 4))(*args)
+    g_f = jax.grad(loss(cfg_f), argnums=(0, 1, 2, 3, 4))(*args)
+    for gu, gf, name in zip(
+        g_u, g_f, ["means", "scales", "quats", "opacity", "sh"]
+    ):
+        scale = float(jnp.abs(gu).max()) + 1e-12
+        np.testing.assert_allclose(
+            gf, gu, rtol=1e-5, atol=1e-6 * scale, err_msg=name
+        )
+
+
 def test_pallas_ndc_grads():
     camera = Camera(CameraType.LONLAT, 64, 32)
     params = random_cloud(jax.random.PRNGKey(3), 16)
