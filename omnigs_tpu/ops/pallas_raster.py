@@ -572,6 +572,7 @@ def _bwd_kernel_fused(
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
     idbuf,  # (2, 1, CHUNK) SMEM
+    gscr,  # (NROWS, CHUNK) VMEM — staging for per-lane reads
     sems,  # DMA(2)
     idsems,  # DMA(2)
 ):
@@ -650,11 +651,14 @@ def _bwd_kernel_fused(
                 dL, dLT, dL_dot_Cfull, N, dL_dot_prefix,
             )
 
-            # per-instance accumulate: gated lanes of other tiles are zero
+            # per-instance accumulate: gated lanes of other tiles are zero.
+            # gdata goes through a VMEM ref so the per-lane column read is
+            # a ref dynamic slice (robust Mosaic lowering).
+            gscr[:] = gdata
+
             def inner(j, _):
                 gid = idbuf[slot, 0, j]
-                col = jax.lax.dynamic_slice_in_dim(gdata, j, 1, axis=1)
-                acc_ref[:, pl.ds(gid, 1)] += col
+                acc_ref[:, pl.ds(gid, 1)] += gscr[:, pl.ds(j, 1)]
                 return 0
 
             jax.lax.fori_loop(0, CHUNK, inner, 0, unroll=4)
@@ -730,6 +734,7 @@ def composite_pallas_bwd_fused(
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.SMEM((2, 1, CHUNK), jnp.int32),
+            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
