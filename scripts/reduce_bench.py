@@ -63,12 +63,10 @@ def _reduce_kernel(ids_hbm, rows_hbm, acc_ref, buf, idbuf, sems, idsems,
 
         get_dma(slot, c).wait()
         get_iddma(slot, c).wait()
-        data = buf[slot]
 
         def inner(j, _):
             gid = idbuf[slot, 0, j]
-            col = jax.lax.dynamic_slice_in_dim(data, j, 1, axis=1)
-            acc_ref[:, pl.ds(gid, 1)] += col
+            acc_ref[:, pl.ds(gid, 1)] += buf[slot, :, pl.ds(j, 1)]
             return 0
 
         jax.lax.fori_loop(0, CHUNK, inner, 0, unroll=4)
