@@ -224,6 +224,8 @@ def raster_config_from(cfg: Config):
         from omnigs_tpu.ops.pallas_raster import CHUNK
 
         aligned_cap = -(-aligned_cap // CHUNK) * CHUNK
+    from omnigs_tpu.ops.pallas_raster import FUSED_REDUCE_MAX_P
+
     return RasterConfig(
         max_instances=cfg.tpu.max_instances,
         tile_cap=cfg.tpu.tile_cap,
@@ -232,6 +234,12 @@ def raster_config_from(cfg: Config):
         tight_culling=cfg.tpu.tight_culling,
         tile_culling=backend == "pallas" and cfg.tpu.tile_culling,
         aligned_cap=aligned_cap if backend == "pallas" else None,
+        # production defaults (output-equivalent, BENCH.md round 3):
+        # n_contrib is a diagnostic nothing in train/eval consumes; the
+        # fused in-kernel gradient reduction applies when the model table
+        # fits VMEM (falls back past FUSED_REDUCE_MAX_P regardless)
+        want_ncontrib=False,
+        fused_reduce=cfg.tpu.capacity <= FUSED_REDUCE_MAX_P,
     )
 
 

@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Ablation microbench of the Pallas fwd compositing kernel: times variants
 with parts removed to attribute per-chunk cost (DMA floor, α math,
-transcendentals, cumsum matmul, color matmul, loop overhead)."""
+transcendentals, cumsum matmul, color matmul, loop overhead).
+
+NOTE: ablates the round-1/2 ELEMENTWISE α formulation (its per-chunk cost
+attribution shaped the round-3 MXU-factored redesign; see BENCH.md). The
+old elementwise helpers are inlined here so the script stays runnable."""
 
 import functools
 import sys
@@ -17,9 +21,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from omnigs_tpu.ops.pallas_raster import (
-    CHUNK, NROWS, PX, TPB, _chunk_alpha, _lane_cumsum, _pixel_coords,
-    T_STOP,
+    CHUNK, NROWS, PX, TPB, _lane_cumsum, T_STOP,
 )
+from omnigs_tpu.ops.preprocess import TILE
+
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+_X, _Y, _A, _B, _C, _OP, _R, _G, _B3 = range(9)
+
+
+def _pixel_coords(x0, y0):
+    p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
+    px = (x0 + p % TILE).astype(jnp.float32)
+    py = (y0 + p // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _chunk_alpha(data, px, py, count, kbase):
+    x = data[_X : _X + 1, :]
+    y = data[_Y : _Y + 1, :]
+    A = data[_A : _A + 1, :]
+    B = data[_B : _B + 1, :]
+    C = data[_C : _C + 1, :]
+    op = data[_OP : _OP + 1, :]
+    dx = x - px
+    dy = y - py
+    power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+    G = jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(ALPHA_MAX, op * G)
+    k = kbase + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    live = (k >= 0) & (k < count) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a = jnp.where(live, alpha, 0.0)
+    return a, live, G, dx, dy, A, B, C, op, k
 
 
 def make_kernel(mode):
