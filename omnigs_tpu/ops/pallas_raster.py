@@ -164,7 +164,11 @@ def _chunk_alpha(data, Ub, cx, cy, count, kbase):
     return a, live, opG, xg, yg, A, B, C, op, k
 
 
-TPB = 4  # tiles composited per kernel program (amortizes per-program costs)
+# tiles composited per kernel program (amortizes per-program costs);
+# env-overridable for on-chip A/B sweeps (scripts/kernel_bench.py)
+import os as _os
+
+TPB = int(_os.environ.get("OMNIGS_TPB", "4"))
 
 
 def _fwd_kernel(
