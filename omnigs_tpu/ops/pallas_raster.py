@@ -665,7 +665,10 @@ def _bwd_kernel_fused(
                 acc_ref[:, pl.ds(gid, 1)] += gscr[:, pl.ds(j, 1)]
                 return 0
 
-            jax.lax.fori_loop(0, CHUNK, inner, 0, unroll=4)
+            # Mosaic supports only unroll=1 or full unroll here; full unroll
+            # of 128 short iterations bloats the program on a wedge-prone
+            # remote compiler, so keep the rolled loop
+            jax.lax.fori_loop(0, CHUNK, inner, 0)
             return c + 1, N, dL_dot_prefix
 
         init = (

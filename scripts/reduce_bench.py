@@ -69,7 +69,7 @@ def _reduce_kernel(ids_hbm, rows_hbm, acc_ref, buf, idbuf, sems, idsems,
             acc_ref[:, pl.ds(gid, 1)] += buf[slot, :, pl.ds(j, 1)]
             return 0
 
-        jax.lax.fori_loop(0, CHUNK, inner, 0, unroll=4)
+        jax.lax.fori_loop(0, CHUNK, inner, 0)
         return 0
 
     jax.lax.fori_loop(0, n_chunks, body, 0)
