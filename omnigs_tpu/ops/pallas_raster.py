@@ -572,11 +572,11 @@ def _bwd_kernel_fused(
     color_full_ref,  # (1, TPB, 3·PX)
     dcolor_ref,  # (1, TPB, 3·PX)
     # outputs
-    acc_ref,  # (NROWS, P_pad) VMEM — SAME block every program
+    acc_ref,  # (P_pad // 8, 128) VMEM — SAME block every program
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
     idbuf,  # (2, 1, CHUNK) SMEM
-    gscr,  # (NROWS, CHUNK) VMEM — staging for per-lane reads
+    gscr,  # (CHUNK, 128) VMEM — transposed gradient staging, lanes 0:16
     sems,  # DMA(2)
     idsems,  # DMA(2)
 ):
@@ -584,14 +584,18 @@ def _bwd_kernel_fused(
 
     Instead of writing per-instance gradient rows back to HBM (and paying a
     serial ~17 ns/row XLA scatter-add afterwards), each chunk's gradient
-    columns are accumulated directly into a VMEM-resident (NROWS, P)
-    per-Gaussian table by per-instance dynamic-lane adds. The TPU grid is
-    sequential, so the accumulator block (same index every program)
-    persists across programs and carries no races; a chunk shared by two
-    tiles is simply visited twice, each visit adding only its own tile's
-    gated (elsewhere-zero) lanes — the heads/write-back machinery of the
-    unfused kernel disappears entirely. Requires the accumulator to fit
-    VMEM: P ≤ ~200k f32 rows (see FUSED_REDUCE_MAX_P).
+    columns are accumulated directly into a VMEM-resident per-Gaussian
+    table. Mosaic forbids dynamic LANE offsets (they must be 128-aligned),
+    so the table is laid out (P//8, 128): gaussian g owns row g//8, lane
+    block [(g%8)·16, +16) — the per-instance add is then a dynamic-SUBLANE
+    read-modify-write (allowed) of the instance's gradient row rotated into
+    its lane block with a dynamic `pltpu.roll`. The TPU grid is sequential,
+    so the accumulator block (same index every program) persists across
+    programs and carries no races; a chunk shared by two tiles is simply
+    visited twice, each visit adding only its own tile's gated
+    (elsewhere-zero) lanes — the heads/write-back machinery of the unfused
+    kernel disappears entirely. Requires the accumulator to fit VMEM:
+    P ≤ ~160k f32 rows (see FUSED_REDUCE_MAX_P).
     """
     pid = pl.program_id(0)
     Ub = _u_basis().astype(jnp.bfloat16)
@@ -600,6 +604,7 @@ def _bwd_kernel_fused(
     @pl.when(pid == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
+        gscr[:] = jnp.zeros_like(gscr)  # lanes ≥ NROWS stay zero throughout
 
     def tile_loop(i, _):
         t = pid * TPB + i
@@ -656,13 +661,16 @@ def _bwd_kernel_fused(
             )
 
             # per-instance accumulate: gated lanes of other tiles are zero.
-            # gdata goes through a VMEM ref so the per-lane column read is
-            # a ref dynamic slice (robust Mosaic lowering).
-            gscr[:] = gdata
+            # Stage the chunk's gradients TRANSPOSED (instance-major rows,
+            # gradient components in lanes 0:16) so each instance's read is
+            # a dynamic-sublane row — Mosaic forbids dynamic lane offsets.
+            gscr[:, 0:NROWS] = gdata.T
 
             def inner(j, _):
                 gid = idbuf[slot, 0, j]
-                acc_ref[:, pl.ds(gid, 1)] += gscr[:, pl.ds(j, 1)]
+                row = gscr[pl.ds(j, 1), :]  # (1, 128), data in lanes 0:16
+                rolled = pltpu.roll(row, (gid % 8) * NROWS, axis=1)
+                acc_ref[pl.ds(gid // 8, 1), :] += rolled
                 return 0
 
             # Mosaic supports only unroll=1 or full unroll here; full unroll
@@ -734,14 +742,14 @@ def composite_pallas_bwd_fused(
         ],
         out_specs=[
             pl.BlockSpec(
-                (NROWS, p_pad), lambda i, *_: (0, 0),
+                (p_pad // 8, 128), lambda i, *_: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.SMEM((2, 1, CHUNK), jnp.int32),
-            pltpu.VMEM((NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -749,10 +757,11 @@ def composite_pallas_bwd_fused(
     (acc,) = pl.pallas_call(
         _bwd_kernel_fused,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((NROWS, p_pad), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((p_pad // 8, 128), jnp.float32)],
         interpret=interpret,
     )(starts, counts, x0, y0, inst_T, ids[None, :], color_full, dcolor)
-    return acc[:9, :num_gaussians].T  # (P, 9)
+    # row g//8, lane block (g%8)·16 → (P, 16) rows, keep the 9 real rows
+    return acc.reshape(p_pad, NROWS)[:num_gaussians, :9]  # (P, 9)
 
 
 def _pad_instances(max_instances: int) -> int:
