@@ -224,8 +224,6 @@ def raster_config_from(cfg: Config):
         from omnigs_tpu.ops.pallas_raster import CHUNK
 
         aligned_cap = -(-aligned_cap // CHUNK) * CHUNK
-    from omnigs_tpu.ops.pallas_raster import FUSED_REDUCE_MAX_P
-
     return RasterConfig(
         max_instances=cfg.tpu.max_instances,
         tile_cap=cfg.tpu.tile_cap,
@@ -235,11 +233,12 @@ def raster_config_from(cfg: Config):
         tile_culling=backend == "pallas" and cfg.tpu.tile_culling,
         aligned_cap=aligned_cap if backend == "pallas" else None,
         # production defaults (output-equivalent, BENCH.md round 3):
-        # n_contrib is a diagnostic nothing in train/eval consumes; the
-        # fused in-kernel gradient reduction applies when the model table
-        # fits VMEM (falls back past FUSED_REDUCE_MAX_P regardless)
+        # n_contrib is a diagnostic nothing in train/eval consumes.
+        # fused_reduce measured 6× SLOWER than the live-bound scatter on
+        # chip (Mosaic rolled per-instance loops cost ~150 ns/instance) —
+        # stays off; the knob + kernel remain for wider-VPU hardware.
         want_ncontrib=False,
-        fused_reduce=cfg.tpu.capacity <= FUSED_REDUCE_MAX_P,
+        fused_reduce=False,
     )
 
 

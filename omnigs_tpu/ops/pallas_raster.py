@@ -30,6 +30,7 @@ quirks: 0.99-clamp ignored in backward).
 from __future__ import annotations
 
 import functools
+import os as _os
 from typing import Tuple
 
 import jax
@@ -127,6 +128,13 @@ def _dot_exact3(a_bf16, w):
     return acc + jnp.dot(a_bf16, w2, preferred_element_type=jnp.float32)
 
 
+# α-evaluation formulation: "mm" = rank-6 MXU matmul over the pixel basis,
+# "elem" = the elementwise VPU chain. Both bit-comparable (gate tolerance);
+# the default is the formulation that measured faster on chip
+# (scripts/kernel_bench.py A/B, BENCH.md round 3).
+ALPHA_MODE = _os.environ.get("OMNIGS_ALPHA", "elem")
+
+
 def _chunk_alpha(data, Ub, cx, cy, count, kbase):
     """Shared fwd/bwd α math for one (NROWS, CHUNK) chunk.
 
@@ -134,9 +142,9 @@ def _chunk_alpha(data, Ub, cx, cy, count, kbase):
     the tile-local pixel basis: power = U @ W with U the static (PX, 6)
     pixel polynomials and W six per-instance coefficient rows — built from
     the instance's tile-local center (xg, yg) = (x − cx, y − cy) by ~10
-    narrow (1, CHUNK) ops. One 3-pass MXU matmul replaces the ~10 wide VPU
-    passes of the elementwise chain (the MXU runs concurrently with the
-    VPU's exp/mask work, BENCH.md round-3).
+    narrow (1, CHUNK) ops ("mm" mode). Measured on chip the elementwise
+    VPU chain ("elem") still wins at this chunk shape, so it stays the
+    default; both modes share every downstream contract.
 
     Returns ``opG`` (the pre-clamp product op·G): the backward's gradient
     moments all factor through V = dL_dα·op·G (see `_bwd_tile`).
@@ -147,13 +155,21 @@ def _chunk_alpha(data, Ub, cx, cy, count, kbase):
     op = data[_OP : _OP + 1, :]
     xg = data[_X : _X + 1, :] - cx  # (1, CHUNK) tile-local instance center
     yg = data[_Y : _Y + 1, :] - cy
-    w1 = A * xg + B * yg
-    w2 = B * xg + C * yg
-    w0 = -0.5 * (xg * w1 + yg * w2)
-    W = jnp.concatenate(
-        [w0, w1, w2, -0.5 * A, -B, -0.5 * C], axis=0
-    )  # (6, CHUNK)
-    power = _dot_exact3(Ub, W)  # (PX, CHUNK)
+    if ALPHA_MODE == "mm":
+        w1 = A * xg + B * yg
+        w2 = B * xg + C * yg
+        w0 = -0.5 * (xg * w1 + yg * w2)
+        W = jnp.concatenate(
+            [w0, w1, w2, -0.5 * A, -B, -0.5 * C], axis=0
+        )  # (6, CHUNK)
+        power = _dot_exact3(Ub, W)  # (PX, CHUNK)
+    else:
+        p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
+        u = (p % TILE).astype(jnp.float32) - _HALF
+        v = (p // TILE).astype(jnp.float32) - _HALF
+        dx = xg - u  # ≡ x − px (cx cancels exactly: half-integer algebra)
+        dy = yg - v
+        power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
     opG = op * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, opG)
     k = kbase + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -166,8 +182,6 @@ def _chunk_alpha(data, Ub, cx, cy, count, kbase):
 
 # tiles composited per kernel program (amortizes per-program costs);
 # env-overridable for on-chip A/B sweeps (scripts/kernel_bench.py)
-import os as _os
-
 TPB = int(_os.environ.get("OMNIGS_TPB", "4"))
 
 
@@ -193,7 +207,6 @@ def _fwd_kernel(
 ):
     pid = pl.program_id(0)
     Ub = _u_basis().astype(jnp.bfloat16)  # exact (see _u_basis)
-    ones_c = jnp.ones((CHUNK, 1), jnp.float32)
 
     def tile_body(i, _):
         t = pid * TPB + i
@@ -255,18 +268,11 @@ def _fwd_kernel(
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            # gated log-transmittance total via ONE MXU dot against a ones
-            # column (lane reductions cost ~7 full VPU passes each; the two
-            # here were ~30% of the fwd kernel's element ops)
-            lg = jnp.where(contrib, l, 0.0)
             Tstop = Tstop * jnp.exp(
-                jnp.dot(
-                    lg, ones_c,
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                jnp.sum(jnp.where(contrib, l, 0.0), axis=1, keepdims=True)
             )
             # ungated total = last lane of the (already-paid) tri cumsum
+            # (deletes the second 7-pass lane reduction the old kernel paid)
             N = N_excl[:, CHUNK - 1 :] * one_m[:, CHUNK - 1 :]
             if want_ncontrib:
                 rank = jnp.where(live & contrib, k + 1, 0)
@@ -929,7 +935,11 @@ def _build_inst(means2d, conic, rgb, opacity, sorted_g, live=None):
     )  # (P, NROWS)
     r = sorted_g.shape[0]
     CH = 1 << 16
-    if live is None or r % CH != 0 or r // CH <= 1:
+    # live-bounding pays a while_loop + unfused-slice tax (~1.5 ms measured
+    # at bench scale) that only amortizes when the static slab is much
+    # larger than the live prefix — i.e. generous/protocol-sized caps. For
+    # tight slabs (aligned_cap retuned to live) the plain fused gather wins.
+    if live is None or r % CH != 0 or r // CH <= 24:
         rows = packed[sorted_g].T  # (NROWS, R)
         return jnp.pad(rows, ((0, 0), (0, CHUNK)))
     n_chunks = jnp.minimum((live + CH - 1) // CH, r // CH)

@@ -28,7 +28,7 @@ def main():
     model = _example_model(capacity=1 << 17, n=1 << 17)
     cam = Camera(CameraType.LONLAT, 1920, 960)
     cfg = RasterConfig(
-        max_instances=1 << 21,
+        max_instances=26 << 16,
         backend="pallas",
         tight_culling=True,
         tile_culling=True,
@@ -176,24 +176,24 @@ def main():
     )
 
     # Gradient parity at full bench scale: the compact layout's backward —
-    # with the round-3 production knobs: FUSED in-kernel gradient reduction
-    # and want_ncontrib off (exactly bench.py's config) — vs the
-    # ghost-aligned layout's unfused scatter-add backward. Same composited
-    # sequence through two independent reduction paths — grads must agree
-    # to accumulation-order noise.
+    # with the round-3 production knobs (bench.py's exact config:
+    # want_ncontrib off, retuned caps) — vs the ghost-aligned layout's
+    # scatter-add backward. Same composited sequence through two
+    # independent layouts — grads must agree to accumulation-order noise.
     import dataclasses
 
     from omnigs_tpu.ops import loss as loss_ops
 
     gt = jnp.zeros((3, 960, 1920))
-    # caps sized to the retuned truncation-free workload (1.63M survivors;
-    # ghost layout additionally pads each tile to a chunk multiple)
+    # caps sized to the re-measured truncation-free workload (1.02M
+    # surviving instances; ghost layout additionally pads each tile to a
+    # chunk multiple)
     cfg_c = RasterConfig(
-        max_instances=1 << 21, backend="pallas", tight_culling=True,
-        tile_culling=True, aligned_cap=14 << 17,
-        fused_reduce=True, want_ncontrib=False,
+        max_instances=26 << 16, backend="pallas", tight_culling=True,
+        tile_culling=True, aligned_cap=8704 * 128,
+        want_ncontrib=False,
     )
-    cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=20 << 17)
+    cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=None)
 
     def grad_fn(cfg):
         def loss(params):

@@ -51,9 +51,9 @@ def main():
     ap.add_argument("--gaussians", type=int, default=1 << 17)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=960)
-    ap.add_argument("--max-instances", type=int, default=1 << 21)
+    ap.add_argument("--max-instances", type=int, default=26 << 16)
     ap.add_argument("--layout", choices=("compact", "ghost"), default="compact")
-    ap.add_argument("--cap", type=int, default=14 << 17)
+    ap.add_argument("--cap", type=int, default=8704 * 128)
     args = ap.parse_args()
 
     import jax
@@ -136,6 +136,16 @@ def main():
     jax.block_until_ready(inst_T)
     if want("build"):
         print(f"build slab            {timeit(build_j, prep, inst.sorted_g):8.2f} ms")
+        build_live_j = jax.jit(
+            lambda p, sg, s, c: pr._build_inst(
+                p.means2d, p.conic, p.rgb, p.opacity, sg,
+                jnp.max(s + c),
+            )
+        )
+        jax.block_until_ready(
+            build_live_j(prep, inst.sorted_g, inst.starts, inst.counts)
+        )
+        print(f"build slab (live)     {timeit(build_live_j, prep, inst.sorted_g, inst.starts, inst.counts):8.2f} ms")
 
     t_ids = np.arange(num_tiles)
     x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
@@ -197,6 +207,36 @@ def main():
 
         print(f"red: scatter-add (R,9){timeit(jax.jit(red_scatter9), dinst, inst.sorted_g):8.2f} ms")
         print(f"red: scatter-add(R,16){timeit(jax.jit(red_scatter16), dinst, inst.sorted_g):8.2f} ms")
+
+        CH_R = 1 << 16
+
+        def red_scatter_live(di, sg, s, c):
+            # the production live-bound chunked reduction (_ci_bwd)
+            rows = di[:9, :r].T
+            live = jnp.max(s + c)
+            r_pad = -(-r // CH_R) * CH_R
+            ids_p = jnp.concatenate(
+                [sg, jnp.full((r_pad - r,), P, jnp.int32)]
+            )
+            rows_p = jnp.concatenate(
+                [rows, jnp.zeros((r_pad - r, 9), rows.dtype)]
+            )
+            n_ch = jnp.minimum((live + CH_R - 1) // CH_R, r_pad // CH_R)
+
+            def addc(carry):
+                acc, i = carry
+                off = i * CH_R
+                ids_c = jax.lax.dynamic_slice(ids_p, (off,), (CH_R,))
+                rows_c = jax.lax.dynamic_slice(rows_p, (off, 0), (CH_R, 9))
+                return acc.at[ids_c].add(rows_c, mode="drop"), i + 1
+
+            acc, _ = jax.lax.while_loop(
+                lambda cr: cr[1] < n_ch, addc,
+                (jnp.zeros((P, 9)), jnp.int32(0)),
+            )
+            return acc
+
+        print(f"red: scatter (live)   {timeit(jax.jit(red_scatter_live), dinst, inst.sorted_g, inst.starts, inst.counts):8.2f} ms")
 
         if args.layout == "ghost":
             bin_e_j = jax.jit(
