@@ -37,27 +37,47 @@ def psnr_gaussian_splatting(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray
 
 
 @functools.lru_cache(maxsize=None)
-def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x * x) / (2.0 * sigma * sigma))
-    g = g / g.sum()
+    return (g / g.sum()).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    g = _gaussian_1d(window_size, sigma)
     return np.outer(g, g).astype(np.float32)
 
 
 def _depthwise_conv(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
-    """(C, H, W) ⊛ (k, k) depthwise with same-padding (groups=C conv2d)."""
-    c = img.shape[0]
+    """(C, H, W) ⊛ (k, k) depthwise with same-padding (groups=C conv2d).
+
+    The Gaussian window is an outer product g·gᵀ, so the 2-D conv runs as
+    two 1-D passes — 2k taps instead of k². More importantly, the grouped
+    k×k conv lowers catastrophically on TPU: the fwd+VJP of the 11×11
+    version cost ~147 ms/step at 1920×960 (round-3 kernel_bench finding —
+    it was the single biggest line of the protocol training step); the
+    separable form is ~20× cheaper, identical up to rounding (zero padding
+    commutes with separability).
+    """
     k = win.shape[0]
-    kernel = jnp.broadcast_to(win[:, :, None, None], (k, k, 1, c))
-    return jax.lax.conv_general_dilated(
-        img[None],
-        kernel,
-        window_strides=(1, 1),
-        padding="SAME",
+    g = jnp.asarray(_gaussian_1d(k))
+    x = img[:, None]  # (C, 1, H, W): channels ride the batch dim — plain
+    # single-feature convs, no feature_group_count (grouped convs are part
+    # of the pathological lowering)
+    kv = g[:, None, None, None]  # (k, 1, 1, 1) HWIO
+    kh = g[None, :, None, None]  # (1, k, 1, 1)
+    out = jax.lax.conv_general_dilated(
+        x, kv, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        feature_group_count=c,
         precision=jax.lax.Precision.HIGHEST,
-    )[0]
+    )
+    out = jax.lax.conv_general_dilated(
+        out, kh, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return out[:, 0]
 
 
 def ssim(
@@ -118,22 +138,27 @@ def ssim_rows(
         )
 
     s1, s2 = slice_pad(img1), slice_pad(img2)
-    win = jnp.asarray(_gaussian_window(window_size))
-    k = win.shape[0]
-    kernel = jnp.broadcast_to(win[:, :, None, None], (k, k, 1, c))
+    k = window_size
+    g = jnp.asarray(_gaussian_1d(k))
+    kv = g[:, None, None, None]
+    kh = g[None, :, None, None]
 
     def conv(x):
         # vertical VALID (halo pre-padded), horizontal SAME — exactly the
-        # full-image SAME conv restricted to this row block
-        return jax.lax.conv_general_dilated(
-            x[None],
-            kernel,
-            window_strides=(1, 1),
-            padding=((0, 0), (h, h)),
+        # full-image SAME conv restricted to this row block; separable
+        # single-feature passes (channels as batch) for the same reasons
+        # as `_depthwise_conv`
+        out = jax.lax.conv_general_dilated(
+            x[:, None], kv, window_strides=(1, 1), padding=((0, 0), (0, 0)),
             dimension_numbers=("NCHW", "HWIO", "NCHW"),
-            feature_group_count=c,
             precision=jax.lax.Precision.HIGHEST,
-        )[0]
+        )
+        out = jax.lax.conv_general_dilated(
+            out, kh, window_strides=(1, 1), padding=((0, 0), (h, h)),
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return out[:, 0]
 
     mu1, mu2 = conv(s1), conv(s2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
