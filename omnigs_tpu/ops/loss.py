@@ -49,35 +49,41 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return np.outer(g, g).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, window_size: int = 11, sigma: float = 1.5):
+    """(n, n) banded Gaussian B with B[i, j] = g(j − i): B @ x ≡ the 1-D
+    SAME-zero-padded Gaussian conv along an axis of length n."""
+    g = _gaussian_1d(window_size, sigma)
+    h = window_size // 2
+    B = np.zeros((n, n), np.float32)
+    for d in range(-h, h + 1):
+        idx = np.arange(max(0, -d), min(n, n - d))
+        B[idx, idx + d] = g[d + h]
+    return B
+
+
 def _depthwise_conv(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     """(C, H, W) ⊛ (k, k) depthwise with same-padding (groups=C conv2d).
 
-    The Gaussian window is an outer product g·gᵀ, so the 2-D conv runs as
-    two 1-D passes — 2k taps instead of k². More importantly, the grouped
-    k×k conv lowers catastrophically on TPU: the fwd+VJP of the 11×11
-    version cost ~147 ms/step at 1920×960 (round-3 kernel_bench finding —
-    it was the single biggest line of the protocol training step); the
-    separable form is ~20× cheaper, identical up to rounding (zero padding
-    commutes with separability).
+    The Gaussian window is an outer product g·gᵀ, so the conv separates;
+    and on TPU each 1-D pass runs as a BANDED MATMUL on the MXU instead of
+    a conv: grouped/single-feature `conv_general_dilated` lowers
+    catastrophically here — the 11×11 grouped version's fwd+VJP cost
+    ~147 ms/step at 1920×960, separable single-feature convs still ~55 ms,
+    the banded matmuls ~4 ms (round-3 kernel_bench finding; this was the
+    single biggest line of the protocol training step). Identical math up
+    to rounding.
     """
     k = win.shape[0]
-    g = jnp.asarray(_gaussian_1d(k))
-    x = img[:, None]  # (C, 1, H, W): channels ride the batch dim — plain
-    # single-feature convs, no feature_group_count (grouped convs are part
-    # of the pathological lowering)
-    kv = g[:, None, None, None]  # (k, 1, 1, 1) HWIO
-    kh = g[None, :, None, None]  # (1, k, 1, 1)
-    out = jax.lax.conv_general_dilated(
-        x, kv, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
+    c, H, W = img.shape
+    Bv = jnp.asarray(_band_matrix(H, k))
+    Bh = jnp.asarray(_band_matrix(W, k))
+    t = jnp.einsum(
+        "hy,cyx->chx", Bv, img, precision=jax.lax.Precision.HIGHEST
     )
-    out = jax.lax.conv_general_dilated(
-        out, kh, window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
-        precision=jax.lax.Precision.HIGHEST,
+    return jnp.einsum(
+        "chx,xw->chw", t, Bh, precision=jax.lax.Precision.HIGHEST
     )
-    return out[:, 0]
 
 
 def ssim(
