@@ -224,8 +224,14 @@ def raster_config_from(cfg: Config):
         from omnigs_tpu.ops.pallas_raster import CHUNK
 
         aligned_cap = -(-aligned_cap // CHUNK) * CHUNK
+    # Tpu.max_instances: 0 = auto-size. The measurement-driven autosizing
+    # lives in Trainer._autosize_capacities (it needs a model + views);
+    # every other consumer (test/eval entry points, viewers) gets a
+    # generous static budget here — round-3 half-res protocol found the
+    # test binary silently rendering nothing on a 0 budget.
+    max_instances = cfg.tpu.max_instances or (1 << 22)
     return RasterConfig(
-        max_instances=cfg.tpu.max_instances,
+        max_instances=max_instances,
         tile_cap=cfg.tpu.tile_cap,
         chunk=cfg.tpu.chunk,
         backend=backend,
