@@ -48,6 +48,10 @@ class BinnedInstances(NamedTuple):
     sorted_e: jnp.ndarray | None = None  # (R,) int32, sentinel for ghosts
     seg_lo: jnp.ndarray | None = None  # (P,) int32
     seg_hi: jnp.ndarray | None = None  # (P,) int32
+    # depth-presorted packed-key binning (`bin_instances_packed`) only:
+    # sorted_g holds DEPTH RANKS; true gaussian id = perm[rank]
+    perm: jnp.ndarray | None = None  # (P,) int32 depth order
+    inv_perm: jnp.ndarray | None = None  # (P,) int32 rank of each id
 
 
 class BinnedTiles(NamedTuple):
@@ -82,6 +86,48 @@ def _sorted_histogram(keys: jnp.ndarray, num_bins: int) -> jnp.ndarray:
 
 
 MASK_TILES = 64  # pre-emission survivor bitmask width (2 int32 words)
+
+# sorted_e sentinel for slab slots that carry no survivor (ghosts, dead,
+# out-of-window): sorts after every real survivor rank (< 2^24) in the
+# gradient-reduction inversion sort
+E_SENTINEL = 1 << 30
+
+
+def _gather_1d(vals: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """``vals[idx]`` for a 1-D table and a large index batch, vector-path.
+
+    A standalone 1-D gather lowers to the TPU scalar pipeline (~22 ns/row —
+    45 ms at 2M rows, BENCH.md); reshaping ``vals`` to (N/128, 128) turns it
+    into a row gather (vector path, ~2-4 ns/row) plus a one-hot lane select.
+    """
+    n = vals.shape[0]
+    n_pad = -(-n // 128) * 128
+    v2 = jnp.pad(vals, (0, n_pad - n)).reshape(-1, 128)
+    rows = v2[idx // 128]  # (B, 128) row gather
+    sel = (idx % 128)[:, None] == jnp.arange(128, dtype=idx.dtype)[None, :]
+    return jnp.sum(jnp.where(sel, rows, 0), axis=1)
+
+
+def _emission_segments(keep: jnp.ndarray, offsets: jnp.ndarray,
+                       tiles: jnp.ndarray, max_instances: int):
+    """Survivor-rank bookkeeping for the gather-based gradient reduction.
+
+    ``keep`` marks emission slots that survive into the slab. Returns
+    (e, ksum_seg_lo, seg_hi): ``e`` is each slot's *survivor rank*
+    (cumsum(keep)−1; E_SENTINEL for dropped slots) — carried through the
+    main sort as a payload, it lets the backward invert slab→rank with one
+    cheap 1-key sort and reduce instance gradients per Gaussian with a
+    cumsum + segment diff instead of a serial scatter (pallas_raster._ci_bwd).
+    A Gaussian's survivors are contiguous in rank (its emission slots are
+    contiguous and ranking preserves order), so its segment is
+    [ksum[first slot], ksum[end slot]).
+    """
+    ks = jnp.cumsum(keep.astype(jnp.int32))
+    e = jnp.where(keep, ks - 1, E_SENTINEL)
+    ksum = jnp.concatenate([jnp.zeros((1,), jnp.int32), ks])
+    lo = jnp.minimum(offsets, max_instances)
+    hi = jnp.minimum(offsets + tiles, max_instances)
+    return e, _gather_1d(ksum, lo), _gather_1d(ksum, hi)
 
 
 def _precull_masks(prep: Preprocessed, grid_x: int):
@@ -164,6 +210,7 @@ def bin_instances(
     tile_lo=0,
     n_tiles: int | None = None,
     tile_cull: bool = False,
+    with_emission: bool = False,
 ) -> BinnedInstances:
     """Duplicate-with-keys + sort + tile ranges, instance-major.
 
@@ -182,6 +229,11 @@ def bin_instances(
     ``tile_cull=True`` drops every (gaussian, tile) instance whose maximum α
     over the tile's pixel box is provably < 1/255 (see
     `bin_instances_aligned` for the exactness argument).
+
+    ``with_emission=True`` additionally carries each surviving instance's
+    *survivor rank* through the sort (`_emission_segments`) so the backward
+    can reduce instance gradients per Gaussian by gather + cumsum + segment
+    diff instead of a serial scatter-add.
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     if tile_cull:
@@ -319,9 +371,20 @@ def bin_instances(
     # consumer fusions that round differently (see bin_instances_aligned)
     tile_id, depth, g = jax.lax.optimization_barrier((tile_id, depth, g))
 
-    sorted_tile, _, sorted_g = jax.lax.sort(
-        (tile_id, depth, g), num_keys=2, is_stable=True
-    )
+    sorted_e = seg_lo = seg_hi = None
+    if with_emission:
+        # dead/culled slots carry the sentinel tile id — `keep` is free here
+        keep = tile_id < num_tiles
+        e, seg_lo, seg_hi = _emission_segments(
+            keep, offsets, tiles, max_instances
+        )
+        sorted_tile, _, sorted_g, sorted_e = jax.lax.sort(
+            (tile_id, depth, g, e), num_keys=2, is_stable=True
+        )
+    else:
+        sorted_tile, _, sorted_g = jax.lax.sort(
+            (tile_id, depth, g), num_keys=2, is_stable=True
+        )
 
     # Per-tile ranges: few queries over a big sorted table — binary search is
     # cheap here (num_tiles lookups, not max_instances).
@@ -336,6 +399,198 @@ def bin_instances(
         counts=counts,
         num_instances=jnp.sum(counts),
         truncated=jnp.maximum(total - max_instances, 0),
+        sorted_e=sorted_e,
+        seg_lo=seg_lo,
+        seg_hi=seg_hi,
+    )
+
+
+RANK_BITS = 19  # depth-rank bits in the packed sort key (P ≤ 2^19)
+
+
+def bin_instances_packed(
+    prep: Preprocessed,
+    grid_x: int,
+    grid_y: int,
+    max_instances: int,
+    tile_lo=0,
+    n_tiles: int | None = None,
+    tile_cull: bool = False,
+    with_emission: bool = False,
+) -> BinnedInstances:
+    """Compact binning with a depth-presort and a single packed sort key.
+
+    Depth is per-GAUSSIAN (view-space z, `preprocess`), not per-instance — so
+    stable-sorting the P Gaussians by depth ONCE (cheap: P ≪ R rows) makes
+    every tile's gaussian-major emission sequence depth-ordered by
+    construction. The per-instance sort then needs no depth key at all: the
+    key is the packed uint32 ``tile << RANK_BITS | depth_rank`` — *unique*
+    per instance (each (gaussian, tile) pair emits at most once), so an
+    unstable 1-key sort reproduces the reference's stable (tile, depthbits)
+    radix order exactly (ties in depth keep original gaussian order via the
+    stable presort), while moving one array instead of three. ``sorted_g``
+    holds depth RANKS (decoded from the key bits for free); the caller maps
+    rank → gaussian with the returned ``perm`` (one P-row gather) and maps
+    reduced gradients back with ``inv_perm``.
+
+    Replaces `/root/reference/cuda_rasterizer/rasterizer_impl.cu:94-167`
+    (duplicateWithKeys + 64-bit radix sort) like `bin_instances`, at roughly
+    half the sort traffic. Requires P ≤ 2^RANK_BITS and
+    num_tiles < 2^(32−RANK_BITS) − 1 (asserted); callers fall back to
+    `bin_instances` outside those bounds.
+    """
+    num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
+    P = prep.depths.shape[0]
+    assert P <= (1 << RANK_BITS), (P, RANK_BITS)
+    assert num_tiles < (1 << (32 - RANK_BITS)) - 1, num_tiles
+    assert max_instances < 1 << 24, "offsets ride an f32 column exactly"
+
+    if tile_cull:
+        mlo, mhi, tiles = _precull_masks(prep, grid_x)
+    else:
+        tiles = prep.tiles_touched.astype(jnp.int32)
+
+    # stable depth presort (ties keep original gaussian order — together
+    # with gaussian-major emission this reproduces the reference's stable
+    # (tile, depth) sort tie order); tiles rides as a payload so the
+    # depth-order cumsum below needs no 1-D gather (scalar path, BENCH.md)
+    iota_p = jnp.arange(P, dtype=jnp.int32)
+    _, perm, tiles_d = jax.lax.sort(
+        (prep.depths, iota_p, tiles), num_keys=1, is_stable=True
+    )
+    # inverse permutation by sorting back (a P-row sort beats a serial
+    # P-row scatter of iota)
+    _, inv_perm = jax.lax.sort((perm, iota_p), num_keys=1, is_stable=False)
+
+    offsets_d = jnp.cumsum(tiles_d) - tiles_d
+    total = offsets_d[-1] + tiles_d[-1]
+    g = jnp.clip(_owner_of_slot(offsets_d, max_instances), 0, P - 1)
+
+    # expansion table built in ORIGINAL order, rows permuted once (row
+    # gathers are the vector path; per-column permutes are not), then the
+    # depth-order emission offsets appended
+    parts = [prep.rect[:, :3].astype(jnp.float32)]
+    if tile_cull:
+        parts += [
+            jnp.stack(
+                [
+                    (mlo & 0xFFFF).astype(jnp.float32),
+                    ((mlo >> 16) & 0xFFFF).astype(jnp.float32),
+                    (mhi & 0xFFFF).astype(jnp.float32),
+                    ((mhi >> 16) & 0xFFFF).astype(jnp.float32),
+                ],
+                axis=-1,
+            ),
+            prep.means2d,
+            prep.conic,
+            prep.opacity[:, None],
+        ]
+    table = jnp.concatenate(parts, axis=-1)[perm]
+    table = jnp.concatenate(
+        [table, offsets_d.astype(jnp.float32)[:, None]], axis=-1
+    )
+    ncol = table.shape[1]
+    off_col = ncol - 1
+
+    def _expand_chunk(off, g_c):
+        ch = g_c.shape[0]
+        j = off + jnp.arange(ch, dtype=jnp.int32)
+        alive = j < total
+        flat = jax.lax.optimization_barrier(table[g_c].T.reshape(-1))
+        cols = [
+            jax.lax.dynamic_slice_in_dim(flat, c * ch, ch)
+            for c in range(ncol)
+        ]
+        x0 = cols[0].astype(jnp.int32)
+        y0 = cols[1].astype(jnp.int32)
+        width = jnp.maximum(cols[2].astype(jnp.int32) - x0, 1)
+        local = j - cols[off_col].astype(jnp.int32)
+        if tile_cull:
+            lo_m = cols[3].astype(jnp.int32) | (
+                cols[4].astype(jnp.int32) << 16
+            )
+            hi_m = cols[5].astype(jnp.int32) | (
+                cols[6].astype(jnp.int32) << 16
+            )
+            b = jnp.where(
+                local < MASK_TILES, _kth_set_bit(lo_m, hi_m, local), local
+            )
+        else:
+            b = local
+        tx = x0 + b % width
+        ty = y0 + b // width
+        tid = ty * grid_x + tx - tile_lo
+        keep = alive & (tid >= 0) & (tid < num_tiles)
+        if tile_cull:
+            from omnigs_tpu.ops.preprocess import TILE
+
+            mx, my = cols[7], cols[8]
+            cA, cB, cC = cols[9], cols[10], cols[11]
+            op = cols[12]
+            px0 = (tx * TILE).astype(jnp.float32)
+            py0 = (ty * TILE).astype(jnp.float32)
+            qmin = _min_quad_over_box(
+                cA, cB, cC,
+                px0 - mx, px0 + (TILE - 1) - mx,
+                py0 - my, py0 + (TILE - 1) - my,
+            )
+            keep = keep & (op * jnp.exp(-0.5 * qmin) >= 1.0 / 255.0)
+        tid = jnp.where(keep, tid, num_tiles)
+        key = (tid.astype(jnp.uint32) << RANK_BITS) | g_c.astype(jnp.uint32)
+        return key
+
+    CH_E = 1 << 16
+    n_full = max_instances // CH_E
+    dead_key = jnp.uint32(num_tiles) << RANK_BITS
+    if n_full * CH_E != max_instances or n_full <= 1:
+        key = _expand_chunk(jnp.int32(0), g)
+    else:
+        n_chunks = jnp.minimum((total + CH_E - 1) // CH_E, n_full)
+
+        def _body(carry):
+            key_a, i = carry
+            off = i * CH_E
+            g_c = jax.lax.dynamic_slice(g, (off,), (CH_E,))
+            key_c = _expand_chunk(off, g_c)
+            return jax.lax.dynamic_update_slice(key_a, key_c, (off,)), i + 1
+
+        key, _ = jax.lax.while_loop(
+            lambda c: c[1] < n_chunks,
+            _body,
+            (jnp.full((max_instances,), dead_key, jnp.uint32), jnp.int32(0)),
+        )
+    # materialize once (fusion-clone layout-invariant guard, see
+    # bin_instances; key feeds the sort and — with emission — the cumsum)
+    key = jax.lax.optimization_barrier(key)
+
+    sorted_e = seg_lo = seg_hi = None
+    if with_emission:
+        keep = (key >> RANK_BITS) < num_tiles
+        e, seg_lo, seg_hi = _emission_segments(
+            keep, offsets_d, tiles_d, max_instances
+        )
+        skey, sorted_e = jax.lax.sort((key, e), num_keys=1, is_stable=False)
+    else:
+        (skey,) = jax.lax.sort((key,), num_keys=1, is_stable=False)
+    sorted_g = (skey & ((1 << RANK_BITS) - 1)).astype(jnp.int32)
+    sorted_tile = (skey >> RANK_BITS).astype(jnp.int32)
+
+    tids = jnp.arange(num_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tids, side="right").astype(jnp.int32)
+    counts = ends - starts
+
+    return BinnedInstances(
+        sorted_g=sorted_g,
+        starts=starts,
+        counts=counts,
+        num_instances=jnp.sum(counts),
+        truncated=jnp.maximum(total - max_instances, 0),
+        sorted_e=sorted_e,
+        seg_lo=seg_lo,
+        seg_hi=seg_hi,
+        perm=perm,
+        inv_perm=inv_perm,
     )
 
 
@@ -552,21 +807,18 @@ def bin_instances_aligned(
     all_g = jnp.concatenate([g, jnp.zeros((n_ghost,), jnp.int32)])
     sorted_e = seg_lo = seg_hi = None
     if with_emission:
-        # emission index payload for the segment-diff gradient reduction:
-        # reals carry their slot j (gaussian-major, contiguous per gaussian);
-        # ghosts/dead carry the sentinel R. (Measured slower end-to-end than
-        # the plain scatter-add on v5e — kept for larger-R regimes.)
+        # survivor-rank payload for the gather-based gradient reduction
+        # (`_emission_segments`; replaces the r2 raw-slot segdiff whose
+        # scatter-SET into an R-sized table measured 275 ms)
+        e, seg_lo, seg_hi = _emission_segments(
+            keep, offsets, tiles_eff, max_instances
+        )
         all_e = jnp.concatenate(
-            [
-                jnp.where(keep, j, max_instances),
-                jnp.full((n_ghost,), max_instances, jnp.int32),
-            ]
+            [e, jnp.full((n_ghost,), E_SENTINEL, jnp.int32)]
         )
         _, _, sorted_g, sorted_e = jax.lax.sort(
             (all_tile, all_depth, all_g, all_e), num_keys=2, is_stable=True
         )
-        seg_lo = jnp.minimum(offsets, max_instances)
-        seg_hi = jnp.minimum(offsets + tiles_eff, max_instances)
     else:
         _, _, sorted_g = jax.lax.sort(
             (all_tile, all_depth, all_g), num_keys=2, is_stable=True

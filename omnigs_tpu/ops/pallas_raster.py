@@ -1065,19 +1065,63 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
     r = sorted_g.shape[0]
     rows = dinst[:9, :r].T  # (R, 9) — only the meaningful gradient rows
     if sorted_e is not None:
-        # Deterministic instance → Gaussian reduction via segment diff:
-        # slab → emission order is a *permutation* (set-scatter, no
-        # collisions; ghosts carry an out-of-range sentinel and drop), each
-        # Gaussian's instances are contiguous in emission order, so the
-        # per-Gaussian sum is a difference of cumulative sums. Much faster
-        # than a 3M-index scatter-add on TPU.
-        r_emit = sorted_e.shape[0] - num_tiles * CHUNK  # = max_instances
-        emission = (
-            jnp.zeros((r_emit, 9)).at[sorted_e].set(rows, mode="drop")
+        # Deterministic gather-based instance → Gaussian reduction.
+        # ``sorted_e`` maps slab position → survivor rank (unique except the
+        # sort-last E_SENTINEL; binning._emission_segments). TPU scatters are
+        # serial (~17 ns/row) but row GATHERS are ~4× cheaper, so:
+        #   1) invert the map with one cheap unstable 1-key sort
+        #      (rank, slabpos) — slabpos[i] = slab row of survivor i;
+        #   2) gather gradient rows into survivor-rank order — each
+        #      Gaussian's survivors are CONTIGUOUS there;
+        #   3) per-Gaussian sums = cumsum + segment diff at seg_lo/seg_hi
+        #      (two bandwidth passes, no scatter).
+        # Rank density survives cap-trimming: sorted_e stays full-length in
+        # rasterize; trimmed slab rows simply read the zero pad row.
+        # Numerics: the f32 cumsum+diff sums each segment with O(eps·|cs|)
+        # error instead of the scatter's sequential per-Gaussian order —
+        # grads agree to ~1e-5 relative (tests/test_gather_reduce.py), not
+        # bitwise.
+        r_slab = sorted_e.shape[0]
+        iota = jnp.arange(r_slab, dtype=jnp.int32)
+        se, slabpos = jax.lax.sort(
+            (sorted_e, iota), num_keys=1, is_stable=False
         )
-        cs = jnp.concatenate(
-            [jnp.zeros((1, 9)), jnp.cumsum(emission, axis=0)], axis=0
+        # number of live survivor ranks (sentinels sort after all of them)
+        live = jnp.searchsorted(
+            se, jnp.int32(1 << 29), side="left"
+        ).astype(jnp.int32)
+        rows_pad = jnp.concatenate(
+            [rows, jnp.zeros((r_slab - r + 1, 9), rows.dtype)]
         )
+        # live-bound chunked gather+cumsum (cost ∝ survivors, not the cap)
+        CH_G = 1 << 16
+        n_full = r_slab // CH_G
+        if n_full * CH_G != r_slab or n_full <= 1:
+            grows = rows_pad[jnp.minimum(slabpos, r_slab)]
+            cs = jnp.concatenate(
+                [jnp.zeros((1, 9)), jnp.cumsum(grows, axis=0)], axis=0
+            )
+        else:
+            n_chunks = jnp.minimum((live + CH_G - 1) // CH_G, n_full)
+
+            def _body(carry):
+                cs_a, carry_row, i = carry
+                off = i * CH_G
+                sp = jax.lax.dynamic_slice(slabpos, (off,), (CH_G,))
+                grows_c = rows_pad[jnp.minimum(sp, r_slab)]
+                cs_c = jnp.cumsum(grows_c, axis=0) + carry_row
+                cs_a = jax.lax.dynamic_update_slice(cs_a, cs_c, (off + 1, 0))
+                return cs_a, cs_c[-1:, :], i + 1
+
+            cs, _, _ = jax.lax.while_loop(
+                lambda c: c[2] < n_chunks,
+                _body,
+                (
+                    jnp.zeros((r_slab + 1, 9)),
+                    jnp.zeros((1, 9)),
+                    jnp.int32(0),
+                ),
+            )
         acc = cs[seg_hi] - cs[seg_lo]
     else:
         # Live-bound chunked reduction. XLA's scatter-add on TPU is serial

@@ -85,6 +85,13 @@ class RasterConfig:
     # (accumulator must fit VMEM) and the segment-diff path is off;
     # otherwise falls back to the unfused backward automatically.
     fused_reduce: bool = False
+    # gather-based instance→Gaussian gradient reduction: binning carries a
+    # survivor-rank payload through the sort; the backward inverts it with
+    # one cheap 1-key sort, GATHERS gradient rows into rank order (~4×
+    # cheaper than the serial scatter-add) and reduces per Gaussian by
+    # cumsum + segment diff. Grads match the scatter path to ~1e-5 relative
+    # (f32 cumsum), not bitwise.
+    gather_reduce: bool = False
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
@@ -418,20 +425,22 @@ def rasterize(
             inst = bin_instances_aligned(
                 prep_sg, gx, gy, config.max_instances, PCHUNK,
                 tile_cull=config.tile_culling,
+                with_emission=config.gather_reduce,
             )
         else:
             # compact layout: tight segments, kernels mask unaligned heads
             inst = bin_instances(
                 prep_sg, gx, gy, config.max_instances,
                 tile_cull=config.tile_culling,
+                with_emission=config.gather_reduce,
             )
         truncated = inst.truncated
         sorted_g, sorted_e = inst.sorted_g, inst.sorted_e
         starts, counts = inst.starts, inst.counts
         cap = config.aligned_cap
-        # (the emission segment-diff path derives its emission length from
-        # sorted_e's full shape — cap-trimming doesn't compose with it)
-        if cap is not None and cap < sorted_g.shape[0] and sorted_e is None:
+        # (sorted_e is NOT trimmed: the gather reduction needs every
+        # survivor rank present — trimmed slab rows read the zero pad row)
+        if cap is not None and cap < sorted_g.shape[0]:
             # trim the slab to its live prefix: downstream gathers/scatters
             # scale with slab length, and the live segments occupy only
             # the front of the sorted array
