@@ -438,6 +438,12 @@ def bin_instances_packed(
     half the sort traffic. Requires P ≤ 2^RANK_BITS and
     num_tiles < 2^(32−RANK_BITS) − 1 (asserted); callers fall back to
     `bin_instances` outside those bounds.
+
+    Truncation semantics: when emission exceeds ``max_instances`` the tail
+    is dropped in DEPTH order (farthest Gaussians first) rather than
+    `bin_instances`' original-id order — still deterministic and counted in
+    ``truncated``, and bit-identical to `bin_instances` whenever
+    truncated == 0 (the operating regime; tests/test_packed_binning.py).
     """
     num_tiles = n_tiles if n_tiles is not None else grid_x * grid_y
     P = prep.depths.shape[0]

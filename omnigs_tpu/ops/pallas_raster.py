@@ -910,12 +910,16 @@ def _bwd_in_specs_patch():  # pragma: no cover - documentation helper
 # ---------------------------------------------------------------------------
 
 
-def _build_inst(means2d, conic, rgb, opacity, sorted_g, live=None):
+def _build_inst(means2d, conic, rgb, opacity, sorted_g, live=None, perm=None):
     """Gather per-Gaussian state into the (NROWS, R_pad) instance slab.
 
     Packs the 9 per-Gaussian fields into one (P, NROWS) table and fetches it
     with a single row gather — TPU row gathers are ~9× faster than the naive
     9 per-column gathers; the (R, NROWS)→(NROWS, R) transpose fuses free.
+
+    With ``perm`` (depth-presorted binning, `bin_instances_packed`),
+    ``sorted_g`` holds depth RANKS: the table rows are permuted into depth
+    order first (one extra P-row gather, ≪ the R-row main gather).
 
     With ``live`` (the slab high-water mark max(starts+counts), traced), the
     gather runs as a dynamic-trip chunked while_loop that stops at the live
@@ -933,6 +937,8 @@ def _build_inst(means2d, conic, rgb, opacity, sorted_g, live=None):
         ],
         axis=-1,
     )  # (P, NROWS)
+    if perm is not None:
+        packed = packed[perm]
     r = sorted_g.shape[0]
     CH = 1 << 16
     # live-bounding pays a while_loop + unfused-slice tax (~1.5 ms measured
@@ -964,7 +970,7 @@ def _int_ct(x):
     return np.zeros(x.shape, dtype=jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(13, 14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(15, 16, 17, 18))
 def composite_instances(
     means2d,
     conic,
@@ -979,6 +985,8 @@ def composite_instances(
     sorted_e,
     seg_lo,
     seg_hi,
+    perm,
+    inv_perm,
     num_tiles,
     interpret,
     want_ncontrib=True,
@@ -990,12 +998,14 @@ def composite_instances(
     n_contrib (T, PX) — zeros when ``want_ncontrib=False``).
     Differentiable in the first four args.
 
-    ``sorted_e``/``seg_lo``/``seg_hi`` (from `bin_instances_aligned`) enable
-    the segment-diff gradient reduction; pass None to fall back to a
-    scatter-add over ``sorted_g``.
+    ``sorted_e``/``seg_lo``/``seg_hi`` (binning with_emission) enable the
+    gather-based gradient reduction; pass None to fall back to a
+    scatter-add over ``sorted_g``. ``perm``/``inv_perm`` (from
+    `bin_instances_packed`) declare that ``sorted_g`` holds depth ranks.
     """
     inst_T = _build_inst(
-        means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts)
+        means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts),
+        perm,
     )
     color, finalT, ncontrib = composite_pallas_fwd(
         inst_T, starts, counts, x0, y0, num_tiles, interpret, want_ncontrib
@@ -1006,11 +1016,12 @@ def composite_instances(
 
 def _ci_fwd(
     means2d, conic, rgb, opacity, bg, sorted_g, starts, counts, x0, y0,
-    sorted_e, seg_lo, seg_hi, num_tiles, interpret, want_ncontrib=True,
-    fused_reduce=False,
+    sorted_e, seg_lo, seg_hi, perm, inv_perm, num_tiles, interpret,
+    want_ncontrib=True, fused_reduce=False,
 ):
     inst_T = _build_inst(
-        means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts)
+        means2d, conic, rgb, opacity, sorted_g, jnp.max(starts + counts),
+        perm,
     )
     color, finalT, ncontrib = composite_pallas_fwd(
         inst_T, starts, counts, x0, y0, num_tiles, interpret, want_ncontrib
@@ -1026,6 +1037,8 @@ def _ci_fwd(
         sorted_e,
         seg_lo,
         seg_hi,
+        perm,
+        inv_perm,
         color_full,
         bg,
         means2d.shape[0],
@@ -1044,6 +1057,8 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
         sorted_e,
         seg_lo,
         seg_hi,
+        perm,
+        inv_perm,
         color_full,
         bg,
         P,
@@ -1056,8 +1071,8 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
             inst_T, sorted_g, starts, counts, x0, y0, color_full, dcolor,
             num_tiles, P, interpret,
         )
-        return _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g,
-                            starts, counts, x0, y0, bg)
+        return _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, perm, inv_perm,
+                            sorted_g, starts, counts, x0, y0, bg)
     dinst = composite_pallas_bwd(
         inst_T, starts, counts, x0, y0, color_full, dcolor, num_tiles,
         interpret,
@@ -1157,12 +1172,16 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
             _add_chunk,
             (jnp.zeros((P, 9)), jnp.int32(0)),
         )
-    return _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g, starts,
-                        counts, x0, y0, bg)
+    return _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, perm, inv_perm,
+                        sorted_g, starts, counts, x0, y0, bg)
 
 
-def _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g, starts, counts,
-                 x0, y0, bg):
+def _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, perm, inv_perm, sorted_g,
+                 starts, counts, x0, y0, bg):
+    if inv_perm is not None:
+        # depth-presorted binning: acc rows are per depth RANK; map back to
+        # original gaussian order with one P-row gather
+        acc = acc[inv_perm]
     dm2d = acc[:, 0:2]
     dcon = acc[:, 2:5]
     dop = acc[:, 5]
@@ -1170,6 +1189,8 @@ def _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g, starts, counts,
     out_e = None if sorted_e is None else _int_ct(sorted_e)
     out_lo = None if seg_lo is None else _int_ct(seg_lo)
     out_hi = None if seg_hi is None else _int_ct(seg_hi)
+    out_p = None if perm is None else _int_ct(perm)
+    out_ip = None if inv_perm is None else _int_ct(inv_perm)
     return (
         dm2d,
         dcon,
@@ -1184,6 +1205,8 @@ def _ci_bwd_tail(acc, sorted_e, seg_lo, seg_hi, sorted_g, starts, counts,
         out_e,
         out_lo,
         out_hi,
+        out_p,
+        out_ip,
     )
 
 

@@ -132,6 +132,8 @@ def _render_image_sharded(
             None,
             None,
             None,
+            None,
+            None,
             tiles_per_dev,
             cfg.interpret,
             cfg.want_ncontrib,

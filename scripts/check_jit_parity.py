@@ -81,7 +81,7 @@ def main():
         color_t, _, _ = composite_instances(
             prep.means2d, prep.conic, prep.rgb, prep.opacity,
             jnp.zeros(3), sorted_g, starts, counts, x0, y0,
-            None, None, None, gx * gy, False,
+            None, None, None, None, None, gx * gy, False,
         )
         return _tiles_to_image(color_t, gx, gy, cam.width, cam.height)
 
