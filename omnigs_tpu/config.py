@@ -107,6 +107,13 @@ class TpuParams:
     mesh_data: int = 1  # view-parallel axis size
     mesh_gauss: int = 1  # Gaussian-parallel axis size
     views_per_group: int = 1  # views batched per data group per step
+    # n_contrib contribution ranks (diagnostic; ~10 VPU ops/pair in the
+    # forward — nothing in train/eval consumes it, ADVICE r3 #2)
+    want_ncontrib: bool = False
+    # round-4 perf paths (BENCH.md): gather-based gradient reduction and
+    # depth-presorted packed-key binning
+    gather_reduce: bool = False
+    depth_presort: bool = False
 
 
 @dataclasses.dataclass
@@ -201,6 +208,9 @@ _KEYMAP = {
     "Tpu.mesh_data": ("tpu", "mesh_data", int),
     "Tpu.mesh_gauss": ("tpu", "mesh_gauss", int),
     "Tpu.views_per_group": ("tpu", "views_per_group", int),
+    "Tpu.want_ncontrib": ("tpu", "want_ncontrib", bool),
+    "Tpu.gather_reduce": ("tpu", "gather_reduce", bool),
+    "Tpu.depth_presort": ("tpu", "depth_presort", bool),
 }
 
 
@@ -238,13 +248,16 @@ def raster_config_from(cfg: Config):
         tight_culling=cfg.tpu.tight_culling,
         tile_culling=backend == "pallas" and cfg.tpu.tile_culling,
         aligned_cap=aligned_cap if backend == "pallas" else None,
-        # production defaults (output-equivalent, BENCH.md round 3):
-        # n_contrib is a diagnostic nothing in train/eval consumes.
+        # production defaults (output-equivalent, BENCH.md round 3/4):
+        # n_contrib is a diagnostic nothing in train/eval consumes
+        # (Tpu.want_ncontrib re-enables it for debugging, ADVICE r3 #2).
         # fused_reduce measured 6× SLOWER than the live-bound scatter on
         # chip (Mosaic rolled per-instance loops cost ~150 ns/instance) —
         # stays off; the knob + kernel remain for wider-VPU hardware.
-        want_ncontrib=False,
+        want_ncontrib=cfg.tpu.want_ncontrib,
         fused_reduce=False,
+        gather_reduce=backend == "pallas" and cfg.tpu.gather_reduce,
+        depth_presort=backend == "pallas" and cfg.tpu.depth_presort,
     )
 
 

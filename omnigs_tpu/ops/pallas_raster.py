@@ -165,10 +165,14 @@ def _chunk_alpha(data, Ub, cx, cy, count, kbase):
         power = _dot_exact3(Ub, W)  # (PX, CHUNK)
     else:
         p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
-        u = (p % TILE).astype(jnp.float32) - _HALF
-        v = (p // TILE).astype(jnp.float32) - _HALF
-        dx = xg - u  # ≡ x − px (cx cancels exactly: half-integer algebra)
-        dy = yg - v
+        # absolute pixel coords: cx − _HALF = x0 and x0 + (p % TILE) are
+        # exact integer algebra in f32, so dx = x − px is SINGLE-rounded —
+        # bit-parity with the pre-basis formulation. ((x − cx) − u would
+        # round twice; ADVICE r3 #1.)
+        px = (p % TILE).astype(jnp.float32) + (cx - _HALF)
+        py = (p // TILE).astype(jnp.float32) + (cy - _HALF)
+        dx = data[_X : _X + 1, :] - px
+        dy = data[_Y : _Y + 1, :] - py
         power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
     opG = op * jnp.exp(jnp.minimum(power, 0.0))
     alpha = jnp.minimum(ALPHA_MAX, opG)
@@ -1046,6 +1050,70 @@ def _ci_fwd(
     return (color_full, finalT, ncontrib), res
 
 
+def gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi):
+    """Deterministic gather-based instance → Gaussian gradient reduction.
+
+    ``sorted_e`` maps slab position → survivor rank (unique except the
+    sort-last E_SENTINEL; binning._emission_segments). TPU scatters are
+    serial (~17 ns/row) but row GATHERS are ~4× cheaper, so:
+      1) invert the map with one cheap unstable 1-key sort
+         (rank, slabpos) — slabpos[i] = slab row of survivor i;
+      2) gather gradient rows into survivor-rank order — each
+         Gaussian's survivors are CONTIGUOUS there;
+      3) per-Gaussian sums = cumsum + segment diff at seg_lo/seg_hi
+         (two bandwidth passes, no scatter).
+    Rank density survives cap-trimming: sorted_e stays full-length in
+    rasterize; trimmed slab rows simply read the zero pad row.
+    Numerics: the f32 cumsum+diff sums each segment with O(eps·|cs|)
+    error instead of the scatter's sequential per-Gaussian order —
+    grads agree to ~1e-5 relative (tests/test_gather_reduce.py), not
+    bitwise.
+    """
+    r = rows.shape[0]
+    r_slab = sorted_e.shape[0]
+    iota = jnp.arange(r_slab, dtype=jnp.int32)
+    se, slabpos = jax.lax.sort(
+        (sorted_e, iota), num_keys=1, is_stable=False
+    )
+    # number of live survivor ranks (sentinels sort after all of them)
+    live = jnp.searchsorted(
+        se, jnp.int32(1 << 29), side="left"
+    ).astype(jnp.int32)
+    rows_pad = jnp.concatenate(
+        [rows, jnp.zeros((r_slab - r + 1, 9), rows.dtype)]
+    )
+    # live-bound chunked gather+cumsum (cost ∝ survivors, not the cap)
+    CH_G = 1 << 16
+    n_full = r_slab // CH_G
+    if n_full * CH_G != r_slab or n_full <= 1:
+        grows = rows_pad[jnp.minimum(slabpos, r_slab)]
+        cs = jnp.concatenate(
+            [jnp.zeros((1, 9)), jnp.cumsum(grows, axis=0)], axis=0
+        )
+    else:
+        n_chunks = jnp.minimum((live + CH_G - 1) // CH_G, n_full)
+
+        def _body(carry):
+            cs_a, carry_row, i = carry
+            off = i * CH_G
+            sp = jax.lax.dynamic_slice(slabpos, (off,), (CH_G,))
+            grows_c = rows_pad[jnp.minimum(sp, r_slab)]
+            cs_c = jnp.cumsum(grows_c, axis=0) + carry_row
+            cs_a = jax.lax.dynamic_update_slice(cs_a, cs_c, (off + 1, 0))
+            return cs_a, cs_c[-1:, :], i + 1
+
+        cs, _, _ = jax.lax.while_loop(
+            lambda c: c[2] < n_chunks,
+            _body,
+            (
+                jnp.zeros((r_slab + 1, 9)),
+                jnp.zeros((1, 9)),
+                jnp.int32(0),
+            ),
+        )
+    return cs[seg_hi] - cs[seg_lo]
+
+
 def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
     (
         inst_T,
@@ -1064,6 +1132,20 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
         P,
     ) = res
     dcolor = cts[0]
+    # CONTRACT: color is the ONLY differentiable output. final_T is a
+    # diagnostic (rasterize stop_gradients it; reference keeps it as
+    # non-diff residual state, rasterizer_impl.cu:418-433) and n_contrib is
+    # integer (float0 cotangent by construction). A future loss term that
+    # consumes final_T directly (opacity regularization, T-weighted depth
+    # supervision) would silently train with ZERO gradient through it —
+    # set OMNIGS_CHECK_COTANGENTS=1 to poison the gradients with NaN when a
+    # nonzero final_T cotangent arrives, so that failure is loud
+    # (tests/test_pallas_raster.py::test_final_t_cotangent_check).
+    if _os.environ.get("OMNIGS_CHECK_COTANGENTS", "0") == "1":
+        ct_T = cts[1]
+        if getattr(ct_T, "dtype", None) not in (None, jax.dtypes.float0):
+            bad = jnp.any(ct_T != 0)
+            dcolor = dcolor + jnp.where(bad, jnp.nan, 0.0)
     if fused_reduce and sorted_e is None and P <= FUSED_REDUCE_MAX_P:
         # per-Gaussian grads straight out of the kernel (reduction fused
         # into the backward's chunk loop — no HBM grad slab, no scatter)
@@ -1080,64 +1162,7 @@ def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):
     r = sorted_g.shape[0]
     rows = dinst[:9, :r].T  # (R, 9) — only the meaningful gradient rows
     if sorted_e is not None:
-        # Deterministic gather-based instance → Gaussian reduction.
-        # ``sorted_e`` maps slab position → survivor rank (unique except the
-        # sort-last E_SENTINEL; binning._emission_segments). TPU scatters are
-        # serial (~17 ns/row) but row GATHERS are ~4× cheaper, so:
-        #   1) invert the map with one cheap unstable 1-key sort
-        #      (rank, slabpos) — slabpos[i] = slab row of survivor i;
-        #   2) gather gradient rows into survivor-rank order — each
-        #      Gaussian's survivors are CONTIGUOUS there;
-        #   3) per-Gaussian sums = cumsum + segment diff at seg_lo/seg_hi
-        #      (two bandwidth passes, no scatter).
-        # Rank density survives cap-trimming: sorted_e stays full-length in
-        # rasterize; trimmed slab rows simply read the zero pad row.
-        # Numerics: the f32 cumsum+diff sums each segment with O(eps·|cs|)
-        # error instead of the scatter's sequential per-Gaussian order —
-        # grads agree to ~1e-5 relative (tests/test_gather_reduce.py), not
-        # bitwise.
-        r_slab = sorted_e.shape[0]
-        iota = jnp.arange(r_slab, dtype=jnp.int32)
-        se, slabpos = jax.lax.sort(
-            (sorted_e, iota), num_keys=1, is_stable=False
-        )
-        # number of live survivor ranks (sentinels sort after all of them)
-        live = jnp.searchsorted(
-            se, jnp.int32(1 << 29), side="left"
-        ).astype(jnp.int32)
-        rows_pad = jnp.concatenate(
-            [rows, jnp.zeros((r_slab - r + 1, 9), rows.dtype)]
-        )
-        # live-bound chunked gather+cumsum (cost ∝ survivors, not the cap)
-        CH_G = 1 << 16
-        n_full = r_slab // CH_G
-        if n_full * CH_G != r_slab or n_full <= 1:
-            grows = rows_pad[jnp.minimum(slabpos, r_slab)]
-            cs = jnp.concatenate(
-                [jnp.zeros((1, 9)), jnp.cumsum(grows, axis=0)], axis=0
-            )
-        else:
-            n_chunks = jnp.minimum((live + CH_G - 1) // CH_G, n_full)
-
-            def _body(carry):
-                cs_a, carry_row, i = carry
-                off = i * CH_G
-                sp = jax.lax.dynamic_slice(slabpos, (off,), (CH_G,))
-                grows_c = rows_pad[jnp.minimum(sp, r_slab)]
-                cs_c = jnp.cumsum(grows_c, axis=0) + carry_row
-                cs_a = jax.lax.dynamic_update_slice(cs_a, cs_c, (off + 1, 0))
-                return cs_a, cs_c[-1:, :], i + 1
-
-            cs, _, _ = jax.lax.while_loop(
-                lambda c: c[2] < n_chunks,
-                _body,
-                (
-                    jnp.zeros((r_slab + 1, 9)),
-                    jnp.zeros((1, 9)),
-                    jnp.int32(0),
-                ),
-            )
-        acc = cs[seg_hi] - cs[seg_lo]
+        acc = gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi)
     else:
         # Live-bound chunked reduction. XLA's scatter-add on TPU is serial
         # per row and costs ~17.5 ns/row over the STATIC slab length

