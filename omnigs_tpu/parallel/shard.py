@@ -102,6 +102,7 @@ def _render_image_sharded(
             prep_sg, gx, gy, cfg.max_instances,
             tile_lo=tile_lo, n_tiles=tiles_per_dev,
             tile_cull=cfg.tile_culling,
+            with_emission=cfg.gather_reduce,
         )
         sorted_g, starts, counts = inst.sorted_g, inst.starts, inst.counts
         overflow = jnp.zeros((), jnp.int32)
@@ -129,9 +130,9 @@ def _render_image_sharded(
             counts,
             x0,
             y0,
-            None,
-            None,
-            None,
+            inst.sorted_e,
+            inst.seg_lo,
+            inst.seg_hi,
             None,
             None,
             tiles_per_dev,

@@ -220,3 +220,40 @@ def test_sharded_grads_match_single_chip():
     # sanity on the reference grads themselves
     for k, v in g_ref.items():
         assert bool(jnp.isfinite(v).all()), k
+
+
+def test_sharded_pallas_gather_reduce_step_runs():
+    """Sharded step with the gather-based gradient reduction (survivor-rank
+    emission through the per-window binning): loss finite, params move.
+    Grad-level parity of the reduction is covered single-device in
+    tests/test_gather_reduce.py; this exercises the sharded plumbing
+    (sorted_e/seg segments per tile window) end to end."""
+    import dataclasses
+
+    mesh = make_mesh(data=2, gauss=4)
+    model = _model()
+    opt_state = opt_ops.init_adam(model.params())
+    cfg = dataclasses.replace(PAL_CFG, gather_reduce=True)
+    step_fn = make_sharded_train_step(
+        mesh, CAMERA, 2, cfg, opt_ops.LRConfig(), 1.0, bg=jnp.zeros(3),
+    )
+    gspec = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(GAUSS_AXIS)), model
+    )
+    model_d = jax.device_put(model, gspec)
+    ospec = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(GAUSS_AXIS)), opt_state
+    ).replace(count=NamedSharding(mesh, P()))
+    opt_d = jax.device_put(opt_state, ospec)
+    vms = jnp.tile(jnp.eye(4)[None], (2, 1, 1))
+    cps = jnp.zeros((2, 3))
+    gts = jnp.full((2, 3, CAMERA.height, CAMERA.width), 0.3)
+    dspec = NamedSharding(mesh, P(DATA_AXIS))
+    vms, cps, gts = (
+        jax.device_put(vms, dspec),
+        jax.device_put(cps, dspec),
+        jax.device_put(gts, dspec),
+    )
+    m2, _, aux = step_fn(model_d, opt_d, vms, cps, gts, jnp.asarray(1))
+    assert bool(jnp.isfinite(aux["loss"]))
+    assert float(jnp.abs(m2.xyz - model.xyz).max()) > 0
