@@ -303,7 +303,69 @@ def main():
                     f"({'OK' if g_ok else 'FAIL'})"
                 )
 
-    sys.exit(0 if (ok and xok and gok and pok and golden_ok) else 1)
+    # Knob-parity legs (compiled Mosaic on chip — ADVICE r3 #3: the
+    # interpret-mode tests can pass while compiled kernels diverge): every
+    # off-default raster knob must produce the same gradients as the default
+    # path at reduced scale. Reference grads: the small compact config.
+    from omnigs_tpu.ops import pallas_raster as _pr
+
+    def grad_small(cfg):
+        def loss(params):
+            m = small.with_params(params)
+            res = render_model(
+                m, cam_s, jnp.eye(4), jnp.zeros(3), jnp.zeros(3),
+                sh_degree=3, config=cfg,
+            )
+            return loss_ops.l1_loss(res.image, jnp.zeros((3, 320, 640)))
+
+        return jax.jit(jax.grad(loss))(small.params())
+
+    g_ref = grad_small(cfg_p)
+    kok = True
+
+    def check_knob(name, g_var, tol=2e-3):
+        nonlocal kok
+        for k in g_ref:
+            scale = float(jnp.abs(g_ref[k]).max()) + 1e-20
+            kerr = float(jnp.abs(g_var[k] - g_ref[k]).max()) / scale
+            this_ok = kerr < tol
+            kok = kok and this_ok
+            print(
+                f"knob[{name}] grad[{k}] rel err: {kerr:.2e}  "
+                f"({'OK' if this_ok else 'FAIL'})"
+            )
+
+    check_knob(
+        "gather_reduce", grad_small(
+            dataclasses.replace(cfg_p, gather_reduce=True)
+        )
+    )
+    check_knob(
+        "depth_presort", grad_small(
+            dataclasses.replace(cfg_p, depth_presort=True)
+        )
+    )
+    check_knob(
+        "gather+presort", grad_small(
+            dataclasses.replace(
+                cfg_p, gather_reduce=True, depth_presort=True
+            )
+        )
+    )
+    check_knob(
+        "fused_reduce", grad_small(
+            dataclasses.replace(cfg_p, fused_reduce=True)
+        )
+    )
+    # α-formulation A/B: module-level knob, read at trace time
+    _pr.ALPHA_MODE = "mm"
+    try:
+        g_mm = grad_small(dataclasses.replace(cfg_p, want_ncontrib=False))
+    finally:
+        _pr.ALPHA_MODE = "elem"
+    check_knob("alpha=mm", g_mm)
+
+    sys.exit(0 if (ok and xok and gok and pok and golden_ok and kok) else 1)
 
 
 if __name__ == "__main__":

@@ -35,13 +35,4 @@ python examples/train_openmvg_lonlat.py cfg/lonlat/synthetic_medium.yaml \
 ply=$(ls -d "$OUT"/*/ply/point_cloud.ply 2>/dev/null | tail -1)
 python examples/test_openmvg_lonlat.py cfg/lonlat/synthetic_medium.yaml \
   "$OUT/test" "$SCENE/sfm_data_test.json" "$ply" 2>&1 | tee "$OUT/test.log"
-BAR="$BAR" python - "$OUT/test" <<'PY'
-import os, sys, pathlib
-vals = [float(l.split()[1]) for l in
-        (pathlib.Path(sys.argv[1]) / "psnr_test.txt").read_text().splitlines()]
-m = sum(vals) / len(vals)
-bar = float(os.environ["BAR"])
-print(f"[quality_check] held-out PSNR {m:.2f} vs bar {bar:.2f} "
-      f"({'OK' if m >= bar else 'FAIL'})")
-sys.exit(0 if m >= bar else 1)
-PY
+python scripts/psnr_gate.py "$OUT/test" "$BAR"
