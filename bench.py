@@ -41,9 +41,14 @@ def main():
     # Env overrides let the chip sprint A/B the round-4 structural knobs
     # without editing this file between runs; the committed defaults below
     # are the measured winners.
+    # Defaults are the measured round-4 winners (BENCH.md r4 e2e A/B:
+    # base 21.36 → +gather_reduce 24.68 → +depth_presort 25.90 → +cap
+    # retune 26.09 Mpix/s). max_instances 19·2^16 = post-superblock-cull
+    # emission budget (~1.10M) + 13% headroom — truncation-free, verified
+    # by kernel_bench's counter at 18·2^16 already.
     cfg = RasterConfig(
         max_instances=int(
-            os.environ.get("OMNIGS_MAX_INSTANCES", str(26 << 16))
+            os.environ.get("OMNIGS_MAX_INSTANCES", str(19 << 16))
         ),
         backend="pallas", tight_culling=True,
         tile_culling=True,
@@ -53,8 +58,8 @@ def main():
         # n_contrib diagnostic off in the training step (output-equivalent;
         # chip-gated by check_jit_parity's full-scale grad leg)
         want_ncontrib=False,
-        gather_reduce=os.environ.get("OMNIGS_GATHER_REDUCE", "0") == "1",
-        depth_presort=os.environ.get("OMNIGS_DEPTH_PRESORT", "0") == "1",
+        gather_reduce=os.environ.get("OMNIGS_GATHER_REDUCE", "1") == "1",
+        depth_presort=os.environ.get("OMNIGS_DEPTH_PRESORT", "1") == "1",
     )
     quick = os.environ.get("OMNIGS_BENCH_QUICK", "0") == "1"
     model = _example_model(capacity=P, n=P)

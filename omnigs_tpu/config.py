@@ -110,10 +110,14 @@ class TpuParams:
     # n_contrib contribution ranks (diagnostic; ~10 VPU ops/pair in the
     # forward — nothing in train/eval consumes it, ADVICE r3 #2)
     want_ncontrib: bool = False
-    # round-4 perf paths (BENCH.md): gather-based gradient reduction and
-    # depth-presorted packed-key binning
-    gather_reduce: bool = False
-    depth_presort: bool = False
+    # round-4 perf paths, DEFAULT ON (measured e2e on chip, BENCH.md r4:
+    # base 21.36 → +gather_reduce 24.68 → +depth_presort 25.90 Mpix/s).
+    # Both degrade safely: depth_presort falls back to the 2-key sort when
+    # P > 2^19 or the tile grid overflows the packed key (rasterize.py
+    # checks), gather_reduce keeps full-length survivor ranks so truncated
+    # tiles simply contribute zero gradient rows (as the scatter path does).
+    gather_reduce: bool = True
+    depth_presort: bool = True
 
 
 @dataclasses.dataclass

@@ -1064,10 +1064,19 @@ def gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi):
          (two bandwidth passes, no scatter).
     Rank density survives cap-trimming: sorted_e stays full-length in
     rasterize; trimmed slab rows simply read the zero pad row.
-    Numerics: the f32 cumsum+diff sums each segment with O(eps·|cs|)
-    error instead of the scatter's sequential per-Gaussian order —
-    grads agree to ~1e-5 relative (tests/test_gather_reduce.py), not
-    bitwise.
+
+    Numerics — two-level segment sums, NOT one global cumsum+diff: a
+    single f32 cumsum over ~10⁶ rows makes every segment a difference of
+    two huge prefixes, and the conic gradient rows (dA/dB/dC span ~10⁴
+    in magnitude) lose up to 5×10⁻² relative on rotation/scaling at
+    bench scale (caught by check_jit_parity's full-scale leg on chip).
+    Instead each 64Ki chunk keeps a LOCAL exclusive cumsum (prefix
+    magnitude 17× smaller, and it cancels EXACTLY for same-chunk
+    segments — the common case: mean segment ≈ 8 rows), and the
+    cross-chunk part is a direct (P, n_chunks) one-hot MXU matmul over
+    per-chunk totals — a ≤n_chunks-term sum with no prefix cancellation
+    at all. Grads agree with the scatter path to accumulation-order
+    noise (tests/test_gather_reduce.py), not bitwise.
     """
     r = rows.shape[0]
     r_slab = sorted_e.shape[0]
@@ -1082,36 +1091,56 @@ def gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi):
     rows_pad = jnp.concatenate(
         [rows, jnp.zeros((r_slab - r + 1, 9), rows.dtype)]
     )
-    # live-bound chunked gather+cumsum (cost ∝ survivors, not the cap)
+    # live-bound chunked gather (cost ∝ survivors, not the cap)
     CH_G = 1 << 16
     n_full = r_slab // CH_G
     if n_full * CH_G != r_slab or n_full <= 1:
+        # ragged caps (tests): prefix magnitudes are small, plain cumsum
         grows = rows_pad[jnp.minimum(slabpos, r_slab)]
         cs = jnp.concatenate(
             [jnp.zeros((1, 9)), jnp.cumsum(grows, axis=0)], axis=0
         )
-    else:
-        n_chunks = jnp.minimum((live + CH_G - 1) // CH_G, n_full)
+        return cs[seg_hi] - cs[seg_lo]
 
-        def _body(carry):
-            cs_a, carry_row, i = carry
-            off = i * CH_G
-            sp = jax.lax.dynamic_slice(slabpos, (off,), (CH_G,))
-            grows_c = rows_pad[jnp.minimum(sp, r_slab)]
-            cs_c = jnp.cumsum(grows_c, axis=0) + carry_row
-            cs_a = jax.lax.dynamic_update_slice(cs_a, cs_c, (off + 1, 0))
-            return cs_a, cs_c[-1:, :], i + 1
+    n_chunks = jnp.minimum((live + CH_G - 1) // CH_G, n_full)
 
-        cs, _, _ = jax.lax.while_loop(
-            lambda c: c[2] < n_chunks,
-            _body,
-            (
-                jnp.zeros((r_slab + 1, 9)),
-                jnp.zeros((1, 9)),
-                jnp.int32(0),
-            ),
+    def _body(carry):
+        cs_a, tot_a, i = carry
+        off = i * CH_G
+        sp = jax.lax.dynamic_slice(slabpos, (off,), (CH_G,))
+        grows_c = rows_pad[jnp.minimum(sp, r_slab)]
+        cs_c = jnp.cumsum(grows_c, axis=0)
+        # L[off+1 .. off+CH_G-1] = chunk-local inclusive prefixes;
+        # L[off+CH_G] stays 0 (it is the NEXT chunk's empty prefix — the
+        # chunk's own total goes to tot_a instead)
+        cs_a = jax.lax.dynamic_update_slice(
+            cs_a, cs_c[: CH_G - 1], (off + 1, 0)
         )
-    return cs[seg_hi] - cs[seg_lo]
+        tot_a = jax.lax.dynamic_update_slice(
+            tot_a, cs_c[CH_G - 1 :], (i, 0)
+        )
+        return cs_a, tot_a, i + 1
+
+    L, totals, _ = jax.lax.while_loop(
+        lambda c: c[2] < n_chunks,
+        _body,
+        (
+            jnp.zeros((r_slab + 1, 9)),
+            jnp.zeros((n_full, 9)),
+            jnp.int32(0),
+        ),
+    )
+    # segment [lo, hi): Σ totals[lo>>16 .. hi>>16) + L[hi] − L[lo].
+    # Same-chunk segments: the matmul term is zero and the local prefixes
+    # share a ≤64Ki-row base — no global-magnitude cancellation.
+    c1 = (seg_lo >> 16)[:, None]
+    c2 = (seg_hi >> 16)[:, None]
+    j = jnp.arange(n_full, dtype=jnp.int32)[None, :]
+    mid = jnp.dot(
+        ((c1 <= j) & (j < c2)).astype(jnp.float32), totals,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return mid + L[seg_hi] - L[seg_lo]
 
 
 def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):

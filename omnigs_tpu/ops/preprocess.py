@@ -30,7 +30,13 @@ from omnigs_tpu.cameras import (
 from omnigs_tpu.ops import covariance as cov_ops
 from omnigs_tpu.ops import sh as sh_ops
 
-TILE = 16  # BLOCK_X = BLOCK_Y (`cuda_rasterizer/config.h:25-27`)
+# BLOCK_X = BLOCK_Y (`cuda_rasterizer/config.h:25-27`). Env-overridable for
+# tile-size A/B sweeps on chip (scripts/kernel_bench.py — smaller tiles cut
+# pixel-instance pairs via finer rect/ellipse culling but multiply per-tile
+# chunk-padding and DMA overheads); production default 16.
+import os as _os
+
+TILE = int(_os.environ.get("OMNIGS_TILE", "16"))
 
 
 class Preprocessed(NamedTuple):

@@ -47,7 +47,7 @@ def _emit_kernel(slots_ref, data_ref, out_ref):
     """Per-instance dynamic-slot column writes, everything VMEM-resident."""
 
     def body(j, _):
-        slot = slots_ref[0, j]
+        slot = slots_ref[0, 0, j]
         out_ref[:, slot] = data_ref[:, j]
         return 0
 
@@ -62,7 +62,7 @@ def emit(slots, data, grid):
         interpret=os.environ.get("JAX_PLATFORMS", "") == "cpu",
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, K), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
             pl.BlockSpec((NROWS, K), lambda i: (0, i)),
         ],
         out_specs=pl.BlockSpec((NROWS, K), lambda i: (0, i)),
@@ -90,7 +90,7 @@ def main():
     # slots span the whole slab)
     slots = np.stack(
         [rng.permutation(K).astype(np.int32) for _ in range(grid)]
-    )
+    ).reshape(grid, 1, K)
     data = rng.standard_normal((NROWS, grid * K), dtype=np.float32)
     slots_j = jnp.asarray(slots)
     data_j = jnp.asarray(data)

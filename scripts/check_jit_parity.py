@@ -188,12 +188,19 @@ def main():
     # caps sized to the re-measured truncation-free workload (1.02M
     # surviving instances; ghost layout additionally pads each tile to a
     # chunk multiple)
+    # bench.py's exact round-4 production config (retuned cap, packed-key
+    # presort, gather reduction) vs the ghost-aligned scatter backward —
+    # same composited sequence through two fully independent layouts AND
+    # two independent reduction algorithms
     cfg_c = RasterConfig(
-        max_instances=26 << 16, backend="pallas", tight_culling=True,
+        max_instances=19 << 16, backend="pallas", tight_culling=True,
         tile_culling=True, aligned_cap=8704 * 128,
-        want_ncontrib=False,
+        want_ncontrib=False, gather_reduce=True, depth_presort=True,
     )
-    cfg_g = dataclasses.replace(cfg_c, ghost_align=True, aligned_cap=None)
+    cfg_g = dataclasses.replace(
+        cfg_c, ghost_align=True, aligned_cap=None, gather_reduce=False,
+        depth_presort=False,
+    )
 
     def grad_fn(cfg):
         def loss(params):

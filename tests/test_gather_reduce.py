@@ -91,3 +91,52 @@ def test_gather_1d_matches_plain_indexing():
     np.testing.assert_array_equal(
         np.asarray(_gather_1d(vals, idx)), np.asarray(vals)[np.asarray(idx)]
     )
+
+
+def test_two_level_chunked_segment_sums_exact():
+    """The production (chunked) path of gather_reduce_rows: chunk-local
+    cumsums + one-hot totals matmul must match f64 per-segment sums to
+    f32 accumulation noise — including segments that span chunk
+    boundaries and rows with a ~1e4 dynamic range (the conic-row profile
+    that broke the single-global-cumsum version at bench scale: 5e-2
+    relative error on chip, check_jit_parity full-scale leg)."""
+    from omnigs_tpu.ops.binning import E_SENTINEL
+    from omnigs_tpu.ops.pallas_raster import gather_reduce_rows
+
+    rng = np.random.default_rng(7)
+    CH = 1 << 16
+    r_slab = 4 * CH  # n_full = 4 > 1 → chunked two-level path
+    n_live = r_slab - 5000
+    P = 4096
+
+    # huge dynamic range rows (conic-like) with random sign
+    mag = 10.0 ** rng.uniform(-2, 2, size=(n_live, 1))
+    rows = (rng.standard_normal((n_live, 9)) * mag).astype(np.float32)
+    rows_slab = np.zeros((r_slab, 9), np.float32)
+
+    # random contiguous segments over ranks: gaussian g owns
+    # [bounds[g], bounds[g+1]) — many empty, some spanning chunks
+    cuts = np.sort(rng.integers(0, n_live + 1, size=P - 1))
+    bounds = np.concatenate([[0], cuts, [n_live]]).astype(np.int32)
+    seg_lo, seg_hi = bounds[:-1], bounds[1:]
+
+    # scatter ranks to random slab positions (the inversion-sort input)
+    perm = rng.permutation(r_slab)[:n_live]
+    sorted_e = np.full((r_slab,), E_SENTINEL, np.int32)
+    sorted_e[perm] = np.arange(n_live, dtype=np.int32)
+    rows_slab[perm] = rows
+
+    out = np.asarray(
+        jax.jit(gather_reduce_rows)(
+            jnp.asarray(rows_slab), jnp.asarray(sorted_e),
+            jnp.asarray(seg_lo), jnp.asarray(seg_hi),
+        )
+    )
+    ref = np.add.reduceat(
+        rows.astype(np.float64), np.minimum(seg_lo, n_live - 1)
+    )
+    ref[seg_lo == seg_hi] = 0.0
+    ref = ref[: len(seg_lo)]
+    scale = np.abs(ref).max()
+    err = np.abs(out - ref).max() / scale
+    assert err < 2e-5, err

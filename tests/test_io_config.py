@@ -121,3 +121,20 @@ def test_viewmatrix_campos_consistency():
     # camera center maps to origin in camera frame
     p = kf.viewmatrix @ np.append(kf.campos, 1.0)
     np.testing.assert_allclose(p[:3], 0.0, atol=1e-5)
+
+
+def test_round4_raster_knob_defaults(tmp_path):
+    """The round-4 perf paths are ON by default in config-driven pipelines
+    (measured e2e winners, BENCH.md r4) and YAML-overridable."""
+    from omnigs_tpu.config import TpuParams, load_config
+
+    assert TpuParams.gather_reduce is True
+    assert TpuParams.depth_presort is True
+
+    p = tmp_path / "knobs.yaml"
+    p.write_text(
+        "%YAML:1.0\n---\nTpu.gather_reduce: 0\nTpu.depth_presort: 0\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg.tpu.gather_reduce is False
+    assert cfg.tpu.depth_presort is False
