@@ -44,11 +44,17 @@ K = 8192  # instances per program (output block = its own slab window)
 
 
 def _emit_kernel(slots_ref, data_ref, out_ref):
-    """Per-instance dynamic-slot column writes, everything VMEM-resident."""
+    """Per-instance dynamic-slot row writes, everything VMEM-resident.
+
+    Sublane-major layout — (instance, field) with the 16 fields on lanes —
+    because Mosaic has NO lowering for dynamic LANE indexing at all
+    ("cannot statically prove index is a multiple of 128"); the only
+    per-instance dynamic addressing available is on the sublane axis,
+    exactly like the fused-reduce RMW loop (BENCH.md r3: ~150 ns/inst)."""
 
     def body(j, _):
-        slot = slots_ref[0, 0, j]
-        out_ref[:, slot] = data_ref[:, j]
+        slot = slots_ref[j, 0]
+        out_ref[slot, :] = data_ref[j, :]
         return 0
 
     jax.lax.fori_loop(0, K, body, 0)
@@ -62,11 +68,11 @@ def emit(slots, data, grid):
         interpret=os.environ.get("JAX_PLATFORMS", "") == "cpu",
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1, 1, K), lambda i: (i, 0, 0)),
-            pl.BlockSpec((NROWS, K), lambda i: (0, i)),
+            pl.BlockSpec((K, 1), lambda i: (i, 0)),
+            pl.BlockSpec((K, NROWS), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((NROWS, K), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((NROWS, grid * K), jnp.float32),
+        out_specs=pl.BlockSpec((K, NROWS), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((grid * K, NROWS), jnp.float32),
     )(slots, data)
 
 
@@ -90,8 +96,8 @@ def main():
     # slots span the whole slab)
     slots = np.stack(
         [rng.permutation(K).astype(np.int32) for _ in range(grid)]
-    ).reshape(grid, 1, K)
-    data = rng.standard_normal((NROWS, grid * K), dtype=np.float32)
+    ).reshape(grid * K, 1)
+    data = rng.standard_normal((grid * K, NROWS), dtype=np.float32)
     slots_j = jnp.asarray(slots)
     data_j = jnp.asarray(data)
 

@@ -17,8 +17,10 @@
 set -u -o pipefail
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcomp
 # held-out PSNR of the pinned scene @1.5k iters, measured on chip on
-# known-good code; 0 = not yet measured on this code line → collapse floor
-GATE_PSNR=0
+# known-good code (round-4 defaults: gather_reduce + depth_presort +
+# two-level reduction; sprint3 2026-08, /tmp/sprint_r4/quality.log);
+# 0 = not yet measured on this code line → collapse floor
+GATE_PSNR=17.38
 SCENE=${1:-/tmp/qscene_pinned}
 OUT=${2:-/tmp/quality_check}
 if [ $# -ge 1 ] || [ "$GATE_PSNR" = 0 ]; then

@@ -57,7 +57,19 @@ def main():
     n_dev = jax.device_count()
     meshes = args.meshes or [f"1x{n}" for n in (1, 2, 4, 8) if n <= n_dev]
     camera = Camera(CameraType.LONLAT, args.width, args.height)
-    cfg = RasterConfig(max_instances=1 << 20, tile_cap=1024, chunk=64)
+    if args.force_host_devices:
+        # virtual-device validation: XLA compositor (compiled Pallas needs
+        # real hardware; timings here are not meaningful anyway)
+        cfg = RasterConfig(max_instances=1 << 20, tile_cap=1024, chunk=64)
+    else:
+        # the production Pallas config (bench.py's knobs) so the 1x1-mesh
+        # run measures the shard_map/collective TAX against the unsharded
+        # protocol-loss step, not a backend change (VERDICT r3 #8)
+        cfg = RasterConfig(
+            max_instances=19 << 16, backend="pallas", tight_culling=True,
+            tile_culling=True, aligned_cap=8704 * 128,
+            want_ncontrib=False, gather_reduce=True,
+        )
 
     base_px_s = None
     for spec in meshes:
