@@ -1065,18 +1065,26 @@ def gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi):
     Rank density survives cap-trimming: sorted_e stays full-length in
     rasterize; trimmed slab rows simply read the zero pad row.
 
-    Numerics — two-level segment sums, NOT one global cumsum+diff: a
+    Numerics — blocked segment sums, NOT one global cumsum+diff: a
     single f32 cumsum over ~10⁶ rows makes every segment a difference of
     two huge prefixes, and the conic gradient rows (dA/dB/dC span ~10⁴
     in magnitude) lose up to 5×10⁻² relative on rotation/scaling at
-    bench scale (caught by check_jit_parity's full-scale leg on chip).
-    Instead each 64Ki chunk keeps a LOCAL exclusive cumsum (prefix
-    magnitude 17× smaller, and it cancels EXACTLY for same-chunk
-    segments — the common case: mean segment ≈ 8 rows), and the
-    cross-chunk part is a direct (P, n_chunks) one-hot MXU matmul over
-    per-chunk totals — a ≤n_chunks-term sum with no prefix cancellation
-    at all. Grads agree with the scatter path to accumulation-order
-    noise (tests/test_gather_reduce.py), not bitwise.
+    bench scale (caught by check_jit_parity's full-scale leg on chip;
+    the error is random-walk — ∝ √prefix — so chunk-level blocking alone
+    measured only 4× better). Instead:
+
+    * rank rows are prefix-summed only WITHIN 128-row blocks (exclusive,
+      batched) — every partial-block term in a segment difference shares
+      a ≤127-row base, error ~eps·√128·‖local rows‖;
+    * every block fully inside one Gaussian's segment (segments tile
+      rank space contiguously, so ownership is just two searchsorteds
+      over the non-decreasing seg_lo) contributes its 128-row total via
+      a per-Gaussian scatter-add — R/128 ≈ 10k rows, ~0.2 ms, exact
+      per-Gaussian accumulation order like the scatter path.
+
+    No global prefix appears anywhere. Grads agree with the scatter path
+    to accumulation-order noise (tests/test_gather_reduce.py), not
+    bitwise.
     """
     r = rows.shape[0]
     r_slab = sorted_e.shape[0]
@@ -1103,44 +1111,64 @@ def gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi):
         return cs[seg_hi] - cs[seg_lo]
 
     n_chunks = jnp.minimum((live + CH_G - 1) // CH_G, n_full)
+    SB = 128  # numerics block: in-block prefixes + per-block totals
 
     def _body(carry):
-        cs_a, tot_a, i = carry
+        L_a, tot_a, i = carry
         off = i * CH_G
         sp = jax.lax.dynamic_slice(slabpos, (off,), (CH_G,))
         grows_c = rows_pad[jnp.minimum(sp, r_slab)]
-        cs_c = jnp.cumsum(grows_c, axis=0)
-        # L[off+1 .. off+CH_G-1] = chunk-local inclusive prefixes;
-        # L[off+CH_G] stays 0 (it is the NEXT chunk's empty prefix — the
-        # chunk's own total goes to tot_a instead)
-        cs_a = jax.lax.dynamic_update_slice(
-            cs_a, cs_c[: CH_G - 1], (off + 1, 0)
+        g3 = grows_c.reshape(CH_G // SB, SB, 9)
+        cs3 = jnp.cumsum(g3, axis=1)
+        L_a = jax.lax.dynamic_update_slice(
+            L_a, (cs3 - g3).reshape(CH_G, 9), (off, 0)  # exclusive
         )
         tot_a = jax.lax.dynamic_update_slice(
-            tot_a, cs_c[CH_G - 1 :], (i, 0)
+            tot_a, cs3[:, SB - 1, :], (off // SB, 0)
         )
-        return cs_a, tot_a, i + 1
+        return L_a, tot_a, i + 1
 
-    L, totals, _ = jax.lax.while_loop(
+    L, tot, _ = jax.lax.while_loop(
         lambda c: c[2] < n_chunks,
         _body,
         (
-            jnp.zeros((r_slab + 1, 9)),
-            jnp.zeros((n_full, 9)),
+            jnp.zeros((r_slab, 9)),
+            jnp.zeros((r_slab // SB, 9)),
             jnp.int32(0),
         ),
     )
-    # segment [lo, hi): Σ totals[lo>>16 .. hi>>16) + L[hi] − L[lo].
-    # Same-chunk segments: the matmul term is zero and the local prefixes
-    # share a ≤64Ki-row base — no global-magnitude cancellation.
-    c1 = (seg_lo >> 16)[:, None]
-    c2 = (seg_hi >> 16)[:, None]
-    j = jnp.arange(n_full, dtype=jnp.int32)[None, :]
-    mid = jnp.dot(
-        ((c1 <= j) & (j < c2)).astype(jnp.float32), totals,
-        precision=jax.lax.Precision.HIGHEST,
+    L_pad = jnp.concatenate([L, jnp.zeros((1, 9))])  # L[r_slab] = 0
+
+    # blocks fully inside one segment → scatter their totals to the owner.
+    # Segments tile rank space in Gaussian order, so seg_lo is
+    # non-decreasing and ownership is a searchsorted; ties (empty
+    # segments share their successor's lo) resolve to the real owner
+    # because the containing Gaussian is always last in an equal-lo run.
+    P = seg_lo.shape[0]
+    nb = r_slab // SB
+    bstart = jnp.arange(nb, dtype=jnp.int32) * SB
+    gs = jnp.searchsorted(seg_lo, bstart, side="right").astype(jnp.int32) - 1
+    ge = jnp.searchsorted(
+        seg_lo, bstart + (SB - 1), side="right"
+    ).astype(jnp.int32) - 1
+    owner = jnp.where((gs == ge) & (gs >= 0), gs, P)
+    mid = jnp.zeros((P, 9)).at[owner].add(tot, mode="drop")
+
+    # partial-block head/tail pieces (≤127-row local prefixes each)
+    bl = seg_lo // SB
+    bh = seg_hi // SB
+    Llo = L_pad[seg_lo]
+    Lhi = L_pad[seg_hi]
+    head = jnp.where(
+        ((seg_lo % SB) != 0)[:, None],
+        tot[jnp.minimum(bl, nb - 1)] - Llo,
+        0.0,
     )
-    return mid + L[seg_hi] - L[seg_lo]
+    return jnp.where(
+        (bl == bh)[:, None],
+        Lhi - Llo,  # same-block segment: no owned blocks, no head/tail
+        head + mid + Lhi,
+    )
 
 
 def _ci_bwd(num_tiles, interpret, want_ncontrib, fused_reduce, res, cts):

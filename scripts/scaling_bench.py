@@ -71,6 +71,44 @@ def main():
             want_ncontrib=False, gather_reduce=True,
         )
 
+    if not args.force_host_devices:
+        # unsharded full-train-step baseline at the SAME cfg/loss so the
+        # 1x1-mesh ratio is the pure shard_map/collective tax (bench.py's
+        # headline is grad-only and not comparable)
+        import functools as _ft
+
+        from omnigs_tpu.train.trainer import train_step as _unsharded
+
+        m0 = _example_model(capacity=args.gaussians, n=args.gaussians)
+        o0 = opt_ops.init_adam(m0.params())
+        fn = jax.jit(
+            _ft.partial(
+                _unsharded, camera=camera, sh_degree=3, raster_cfg=cfg,
+                lr_cfg=opt_ops.LRConfig(), spatial_lr_scale=1.0,
+                bg=jnp.zeros(3),
+            )
+        )
+        vm0, cp0 = jnp.eye(4), jnp.zeros(3)
+        gt0 = jnp.zeros((3, args.height, args.width))
+        m0, o0, aux0 = fn(m0, o0, vm0, cp0, gt0, jnp.asarray(1))
+        jax.block_until_ready(aux0["loss"] if "loss" in aux0 else aux0)
+        t0 = time.perf_counter()
+        for i in range(args.iters):
+            m0, o0, aux0 = fn(m0, o0, vm0, cp0, gt0, jnp.asarray(i + 2))
+        jax.block_until_ready(aux0["loss"] if "loss" in aux0 else aux0)
+        dt0 = (time.perf_counter() - t0) / args.iters
+        print(
+            json.dumps(
+                {
+                    "mesh": "unsharded",
+                    "ms_per_step": round(dt0 * 1000, 1),
+                    "pixels_per_s": round(
+                        args.width * args.height / dt0, 1
+                    ),
+                }
+            )
+        )
+
     base_px_s = None
     for spec in meshes:
         data, gauss = (int(v) for v in spec.split("x"))
