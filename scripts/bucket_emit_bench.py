@@ -40,7 +40,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 
 NROWS = 16
-K = 8192  # instances per program (output block = its own slab window)
+K = 2048  # instances per program (output block = its own slab window;
+# larger blocks hit the 16M scoped-vmem stack limit via the lane-padded
+# (K,1) slots operand)
 
 
 def _emit_kernel(slots_ref, data_ref, out_ref):
