@@ -145,26 +145,23 @@ def ssim_rows(
 
     s1, s2 = slice_pad(img1), slice_pad(img2)
     k = window_size
-    g = jnp.asarray(_gaussian_1d(k))
-    kv = g[:, None, None, None]
-    kh = g[None, :, None, None]
+
+    # vertical VALID (halo pre-padded), horizontal SAME — exactly the
+    # full-image SAME conv restricted to this row block, as banded MXU
+    # matmuls like `_depthwise_conv` (the separable single-feature convs
+    # this replaced cost ~55 ms/step fwd+VJP at 1920×960 — the r3 SSIM
+    # fix had only reached the unsharded loss; found via the 1×1-mesh
+    # sharding-tax measurement, BENCH.md r4)
+    Bv = jnp.asarray(_band_matrix(nrows + 2 * h, k))[h : h + nrows, :]
+    Bh = jnp.asarray(_band_matrix(W, k))
 
     def conv(x):
-        # vertical VALID (halo pre-padded), horizontal SAME — exactly the
-        # full-image SAME conv restricted to this row block; separable
-        # single-feature passes (channels as batch) for the same reasons
-        # as `_depthwise_conv`
-        out = jax.lax.conv_general_dilated(
-            x[:, None], kv, window_strides=(1, 1), padding=((0, 0), (0, 0)),
-            dimension_numbers=("NCHW", "HWIO", "NCHW"),
-            precision=jax.lax.Precision.HIGHEST,
+        t = jnp.einsum(
+            "ry,cyx->crx", Bv, x, precision=jax.lax.Precision.HIGHEST
         )
-        out = jax.lax.conv_general_dilated(
-            out, kh, window_strides=(1, 1), padding=((0, 0), (h, h)),
-            dimension_numbers=("NCHW", "HWIO", "NCHW"),
-            precision=jax.lax.Precision.HIGHEST,
+        return jnp.einsum(
+            "crx,xw->crw", t, Bh, precision=jax.lax.Precision.HIGHEST
         )
-        return out[:, 0]
 
     mu1, mu2 = conv(s1), conv(s2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
