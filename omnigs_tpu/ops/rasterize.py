@@ -45,6 +45,13 @@ ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 T_STOP = 1.0e-4
 
+# gather_reduce crossover: its rank-inversion sort runs over the full
+# static instance cap (cannot be live-bound), the scatter fallback is
+# live-bound — above ~2M cap the sort tax exceeds the scatter savings
+# (measured: gather wins +3 Mpix/s at the 1.2M bench cap, loses ~40 ms/it
+# at the 2^22 protocol cap; BENCH.md round 4)
+GATHER_REDUCE_MAX_R = 1 << 21
+
 
 @dataclasses.dataclass(frozen=True)
 class RasterConfig:
@@ -431,6 +438,17 @@ def rasterize(
         from omnigs_tpu.ops.pallas_raster import CHUNK as PCHUNK
         from omnigs_tpu.ops.pallas_raster import composite_instances
 
+        # The gather reduction's rank-inversion sort runs over the FULL
+        # static cap (sorted_e cannot be live-bound), while the scatter
+        # fallback is live-bound — so at generous caps (protocol configs
+        # autosize to survive densify peaks; live ≪ cap) gather LOSES:
+        # measured 140 vs 100 ms/it at the 2^22-cap protocol while
+        # winning +3 Mpix/s at the retuned 1.2M bench cap. Demote
+        # automatically above the measured crossover.
+        gather_reduce = (
+            config.gather_reduce
+            and config.max_instances <= GATHER_REDUCE_MAX_R
+        )
         packable = (
             config.depth_presort
             and not config.ghost_align
@@ -443,7 +461,7 @@ def rasterize(
             inst = bin_instances_packed(
                 prep_sg, gx, gy, config.max_instances,
                 tile_cull=config.tile_culling,
-                with_emission=config.gather_reduce,
+                with_emission=gather_reduce,
             )
         elif config.ghost_align:
             # one-pass binning straight into chunk-aligned slabs via ghost
@@ -451,14 +469,14 @@ def rasterize(
             inst = bin_instances_aligned(
                 prep_sg, gx, gy, config.max_instances, PCHUNK,
                 tile_cull=config.tile_culling,
-                with_emission=config.gather_reduce,
+                with_emission=gather_reduce,
             )
         else:
             # compact layout: tight segments, kernels mask unaligned heads
             inst = bin_instances(
                 prep_sg, gx, gy, config.max_instances,
                 tile_cull=config.tile_culling,
-                with_emission=config.gather_reduce,
+                with_emission=gather_reduce,
             )
         truncated = inst.truncated
         sorted_g, sorted_e = inst.sorted_g, inst.sorted_e
