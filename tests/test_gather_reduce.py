@@ -140,3 +140,23 @@ def test_two_level_chunked_segment_sums_exact():
     scale = np.abs(ref).max()
     err = np.abs(out - ref).max() / scale
     assert err < 2e-5, err
+
+
+def test_gather_demoted_above_cap_threshold():
+    """Above GATHER_REDUCE_MAX_R the gather path auto-demotes to the
+    live-bound scatter (the inversion sort scales with the STATIC cap —
+    generous-cap protocol configs measured 40 ms/it slower; BENCH.md r4).
+    Grads must be BIT-IDENTICAL to gather_reduce=False at the same cap."""
+    from omnigs_tpu.ops.rasterize import GATHER_REDUCE_MAX_R
+
+    params = random_cloud(jax.random.PRNGKey(3), 64)
+    base = dict(
+        max_instances=GATHER_REDUCE_MAX_R + (1 << 16),
+        backend="pallas",
+        interpret=True,
+        tile_culling=True,
+    )
+    g_scatter = _grads(params, RasterConfig(**base))
+    g_gather = _grads(params, RasterConfig(gather_reduce=True, **base))
+    for a, b in zip(g_scatter, g_gather):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
