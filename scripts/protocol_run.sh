@@ -3,6 +3,13 @@
 # (scripts/360roam_run.py:22-34 analog): train 32010 iters with eval/ckpt
 # every 8000, then held-out test eval at 8000 and 32000.
 # Usage: protocol_run.sh SCENE_DIR RESULT_DIR [EXTRA_TRAIN_ARGS...]
+#
+# Scene generation is PINNED (round 4 — earlier rounds did not record it
+# and the r3/r4 scene draws are unrecoverable; results/protocol_r4f
+# onward use exactly):
+#   python scripts/cpu_run.py scripts/make_synthetic_scene.py \
+#     /root/scene_fullres --width 1920 --height 960 --gaussians 32768 \
+#     --train-views 16      # (seed 0 → 16533 seed points)
 set -u -o pipefail
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcomp
 SCENE=${1:-/root/scene_fullres}
