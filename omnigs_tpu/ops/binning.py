@@ -651,6 +651,116 @@ def bin_instances_packed(
     )
 
 
+SEG_GRAN = 8  # segment granularity of the segmented-chunk slab layout
+
+
+class SegLayout(NamedTuple):
+    """8-granular slab re-lay for the segmented-chunk Pallas kernels.
+
+    Every tile's segment is padded to a multiple of SEG_GRAN lanes, so a
+    128-lane kernel chunk contains at most 128/SEG_GRAN = 16 distinct tile
+    segments — the static bound that makes per-chunk tile windows (scalar
+    prefetch + one-hot masks) possible. Pad lanes carry the P-sentinel in
+    ``sorted_g8`` (mapped to an all-zero instance row → α = 0 → dead) and
+    E_SENTINEL in ``e8``.
+    """
+
+    sorted_g8: jnp.ndarray  # (R8,) int32 ranks/ids; == p_sentinel on pads
+    e8: jnp.ndarray | None  # (R8,) int32 survivor ranks; E_SENTINEL on pads
+    starts8: jnp.ndarray  # (T,) int32 SEG_GRAN-aligned slab8 start per tile
+    counts: jnp.ndarray  # (T,) int32 surviving count per tile (post-trim)
+    truncated: jnp.ndarray  # () int32 instances dropped by the r8 cap
+    live8: jnp.ndarray  # () int32 slab8 high-water mark
+
+
+def segment_relay(
+    sorted_g: jnp.ndarray,
+    sorted_e: jnp.ndarray | None,
+    starts: jnp.ndarray,
+    counts: jnp.ndarray,
+    r8: int,
+    p_sentinel: int,
+) -> SegLayout:
+    """Re-lay the compact sorted slab to SEG_GRAN-aligned per-tile segments.
+
+    The compact layout packs tile segments tightly (`bin_instances`), which
+    leaves ~47% of kernel chunk-lanes masked at typical workloads because
+    each tile restarts its own chunk walk (BENCH.md r4 tile-size analysis).
+    The segmented kernels instead walk the slab linearly, one pass per
+    128-lane chunk, with per-lane tile windows — requiring only that no
+    chunk spans more than 16 segments, i.e. SEG_GRAN-aligned starts.
+
+    Cost: two telescoped scatter+cumsum passes for the per-slot source
+    mapping plus one live-bound chunked `_gather_1d` per payload (g, and e
+    when the gather reduction is on) — all O(R8) bandwidth, no sort.
+
+    Tiles whose padded segment would cross ``r8`` are dropped
+    deterministically and counted (same rule as `RasterConfig.aligned_cap`).
+    """
+    assert r8 % 128 == 0, r8
+    r = sorted_g.shape[0]
+    padded = ((counts + SEG_GRAN - 1) // SEG_GRAN) * SEG_GRAN
+    starts8 = jnp.cumsum(padded) - padded
+    fits = starts8 + padded <= r8
+    truncated = jnp.sum(jnp.where(fits, 0, counts))
+    counts8 = jnp.where(fits, counts, 0)
+    padded8 = jnp.where(fits, padded, 0)
+    live8 = jnp.max(starts8 + padded8)
+
+    # per-slot fields via telescoped scatter(delta at segment start)+cumsum:
+    # for any per-tile value v, scattering v[t] − v[t−1] at starts8[t] and
+    # prefix-summing yields v[tile(j)] at every slot j (empty/dropped tiles
+    # share their successor's start — the .add accumulates the deltas).
+    def _at_slots(v):
+        dv = jnp.concatenate([v[:1], v[1:] - v[:-1]])
+        return jnp.cumsum(
+            jnp.zeros((r8,), jnp.int32).at[starts8].add(dv, mode="drop")
+        )
+
+    shift_at = _at_slots(starts8 - starts)  # src = j − shift
+    end_at = _at_slots(starts8 + counts8)  # valid = j < end
+    j = jnp.arange(r8, dtype=jnp.int32)
+    src = jnp.clip(j - shift_at, 0, r - 1)
+    valid = j < end_at
+
+    # live-bound chunked payload gathers (cost ∝ live8, not the cap)
+    def _relay_payload(vals, sentinel):
+        CH = 1 << 16
+        if r8 % CH != 0 or r8 // CH <= 1:
+            return jnp.where(valid, _gather_1d(vals, src), sentinel)
+        n_chunks = jnp.minimum((live8 + CH - 1) // CH, r8 // CH)
+
+        def _body(carry):
+            out, i = carry
+            off = i * CH
+            src_c = jax.lax.dynamic_slice(src, (off,), (CH,))
+            val_c = jax.lax.dynamic_slice(valid, (off,), (CH,))
+            rows = jnp.where(val_c, _gather_1d(vals, src_c), sentinel)
+            return jax.lax.dynamic_update_slice(out, rows, (off,)), i + 1
+
+        out, _ = jax.lax.while_loop(
+            lambda c: c[1] < n_chunks,
+            _body,
+            (jnp.full((r8,), sentinel, jnp.int32), jnp.int32(0)),
+        )
+        return out
+
+    sorted_g8 = _relay_payload(sorted_g, jnp.int32(p_sentinel))
+    e8 = (
+        None
+        if sorted_e is None
+        else _relay_payload(sorted_e, jnp.int32(E_SENTINEL))
+    )
+    return SegLayout(
+        sorted_g8=sorted_g8,
+        e8=e8,
+        starts8=starts8,
+        counts=counts8,
+        truncated=truncated,
+        live8=live8,
+    )
+
+
 def tile_cover_counts(
     rect: jnp.ndarray,
     emit_mask: jnp.ndarray,

@@ -1151,7 +1151,18 @@ def gather_reduce_rows(rows, sorted_e, seg_lo, seg_hi):
     ge = jnp.searchsorted(
         seg_lo, bstart + (SB - 1), side="right"
     ).astype(jnp.int32) - 1
-    owner = jnp.where((gs == ge) & (gs >= 0), gs, P)
+    # gs==ge (same lo-run) alone is NOT containment: the final nonempty
+    # segment has no successor lo to bound its tail, so its partial tail
+    # block — and every all-sentinel block past `live` — would be owned
+    # AND re-added via Lhi (double count; ADVICE r4 #1). Require the
+    # block to END inside the owner's segment too.
+    owner = jnp.where(
+        (gs == ge)
+        & (gs >= 0)
+        & (bstart + SB <= seg_hi[jnp.clip(gs, 0, P - 1)]),
+        gs,
+        P,
+    )
     mid = jnp.zeros((P, 9)).at[owner].add(tot, mode="drop")
 
     # partial-block head/tail pieces (≤127-row local prefixes each)

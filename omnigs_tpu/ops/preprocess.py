@@ -37,6 +37,24 @@ from omnigs_tpu.ops import sh as sh_ops
 import os as _os
 
 TILE = int(_os.environ.get("OMNIGS_TILE", "16"))
+# A stray env var silently changes rasterizer geometry for EVERY consumer
+# (training, eval, checkpoints), so validate hard and warn loudly.
+# TILE ≥ 12 is a Mosaic layout constraint (3·TILE·TILE output reshape needs
+# 3·PX lane-aligned; BENCH.md tile-size analysis), and only {8, 16, 32}
+# have been vetted at all (8/32 measured dead, kept for sweeps).
+if TILE not in (8, 16, 32):
+    raise ValueError(
+        f"OMNIGS_TILE={TILE} unsupported: must be one of 8, 16, 32"
+    )
+if TILE != 16:
+    import sys as _sys
+
+    print(
+        f"[omnigs_tpu] WARNING: OMNIGS_TILE={TILE} overrides the production "
+        "tile size (16); this changes rasterizer geometry for every "
+        "consumer and is only vetted for benchmark sweeps",
+        file=_sys.stderr,
+    )
 
 
 class Preprocessed(NamedTuple):

@@ -365,11 +365,12 @@ def main():
         )
     )
     # α-formulation A/B: module-level knob, read at trace time
+    _prev_alpha = _pr.ALPHA_MODE
     _pr.ALPHA_MODE = "mm"
     try:
         g_mm = grad_small(dataclasses.replace(cfg_p, want_ncontrib=False))
     finally:
-        _pr.ALPHA_MODE = "elem"
+        _pr.ALPHA_MODE = _prev_alpha
     check_knob("alpha=mm", g_mm)
 
     sys.exit(0 if (ok and xok and gok and pok and golden_ok and kok) else 1)

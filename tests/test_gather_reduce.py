@@ -142,6 +142,55 @@ def test_two_level_chunked_segment_sums_exact():
     assert err < 2e-5, err
 
 
+def test_last_segment_tail_block_not_double_counted():
+    """Deterministic regression for the block-ownership hole (ADVICE r4 #1):
+    the final nonempty segment has no successor lo to bound its tail, so
+    when the last Gaussian's segment crosses a 128-row block boundary and
+    live % 128 != 0, its tail block was BOTH scatter-added via the owned
+    block totals AND re-added via the in-block prefix Lhi — and every
+    all-sentinel block past `live` was silently attributed to Gaussian
+    P-1. seed-7 in the random test above happens to dodge this geometry;
+    this case pins it: seg_hi[-1] = n_live = 4·2^16 − 64 (live % 128 ≠ 0)
+    with seg_lo[-1] far below the last block boundary."""
+    from omnigs_tpu.ops.binning import E_SENTINEL
+    from omnigs_tpu.ops.pallas_raster import gather_reduce_rows
+
+    rng = np.random.default_rng(11)
+    CH = 1 << 16
+    r_slab = 4 * CH  # chunked two-level path
+    n_live = r_slab - 64  # live % 128 != 0; sentinel tail in last block
+    P = 4
+
+    # last Gaussian's segment spans the final block boundary
+    bounds = np.array(
+        [0, CH, 2 * CH + 77, (n_live // 128) * 128 - 1000, n_live],
+        np.int32,
+    )
+    seg_lo, seg_hi = bounds[:-1], bounds[1:]
+
+    mag = 10.0 ** rng.uniform(-2, 2, size=(n_live, 1))
+    rows = (rng.standard_normal((n_live, 9)) * mag).astype(np.float32)
+    rows_slab = np.zeros((r_slab, 9), np.float32)
+    perm = rng.permutation(r_slab)[:n_live]
+    sorted_e = np.full((r_slab,), E_SENTINEL, np.int32)
+    sorted_e[perm] = np.arange(n_live, dtype=np.int32)
+    rows_slab[perm] = rows
+    # dropped-slot rows must NOT be relied on being zero: poison them
+    dead = np.setdiff1d(np.arange(r_slab), perm)
+    rows_slab[dead] = rng.standard_normal((len(dead), 9)).astype(np.float32)
+
+    out = np.asarray(
+        jax.jit(gather_reduce_rows)(
+            jnp.asarray(rows_slab), jnp.asarray(sorted_e),
+            jnp.asarray(seg_lo), jnp.asarray(seg_hi),
+        )
+    )
+    ref = np.add.reduceat(rows.astype(np.float64), seg_lo)
+    scale = np.abs(ref).max()
+    err = np.abs(out - ref).max() / scale
+    assert err < 2e-5, err
+
+
 def test_gather_demoted_above_cap_threshold():
     """Above GATHER_REDUCE_MAX_R the gather path auto-demotes to the
     live-bound scatter (the inversion sort scales with the STATIC cap —
