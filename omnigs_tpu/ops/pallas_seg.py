@@ -1,0 +1,995 @@
+"""Segmented-chunk Pallas kernels: one pass per 128-lane slab chunk.
+
+The tile-major kernels (ops/pallas_raster.py) walk each tile's instance
+segment in its own chunk loop; at ~142 instances/tile that means ~2.1
+chunk-passes per tile and ~47% masked lanes (BENCH.md r4 tile-size
+analysis) — padding the tile-size analysis declared workload-bound. These
+kernels instead walk the slab LINEARLY: every 128-lane chunk is processed
+exactly once, carrying the tail of one tile and the heads of the next
+tiles in the same pass (VERDICT r4 next-round #1). The enablers:
+
+* **8-granular layout** (`binning.segment_relay`): every tile's segment is
+  padded to a multiple of 8 lanes, so a chunk spans ≤ 16 distinct tiles —
+  a *static* bound (KS) for the per-chunk tile window.
+* **Per-lane tile windows**: each chunk's segments are described by
+  scalar-prefetched dense-tile arrays (start, count, tile id); one-hot
+  segment masks and per-lane tile centers (cx, cy) are built from ~KS2
+  scalar compares — the α math already broadcasts (1, CHUNK) centers, so
+  it is unchanged.
+* **Segmented triangular cumsum**: in-chunk transmittance uses
+  tri ∧ (seg_i == seg_j) — still 0/1, so the exact-in-bf16 3-pass split
+  survives; the segment-equality matrix is ONE bf16 matmul of the one-hot
+  masks (built in both orientations from iota, no transpose).
+* **8-row-per-tile dense I/O**: per-tile outputs (color ×3, gated log-T)
+  and the backward's per-tile inputs (color_full ×3, dL ×3) live in
+  (8·T_dense, PX) arrays — row 8d+k — so every dynamic window offset is
+  8·(dense index), satisfying Mosaic's sublane-alignment rule for dynamic
+  slices, and the per-tile reductions are matmuls whose masked operands
+  EMIT directly into that layout (zero rows cost the MXU nothing it
+  wasn't already padding).
+* **Windowed accumulation**: partials accumulate into a per-program VMEM
+  staging window over the DENSE (nonempty) tile enumeration; tiles
+  straddling chunk boundaries ride column-form carries, tiles straddling
+  PROGRAM boundaries ride small scratch carries re-injected at the next
+  program's first chunk. Programs self-wait their output DMA — no
+  cross-program DMA state (the round-2 deadlock lesson).
+* **Backward without `heads`**: gradient chunks are written at their own
+  slab positions exactly once (no shared boundary chunks by
+  construction), deleting the tile-major backward's heads machinery.
+
+Semantics are identical to the tile-major kernels per pixel; summation
+*grouping* differs (global chunk boundaries vs per-tile chunk walks), so
+outputs agree to f32 accumulation-order noise, not bitwise. `n_contrib`
+is not computed (training default `want_ncontrib=False`); the tile-major
+kernels remain for it.
+
+Reference analog: `/root/reference/cuda_rasterizer/forward.cu:346-467`,
+`backward.cu:672-843` — whose shared-memory staging economics this layout
+replaces (one cooperative fetch per 256-instance window per tile there;
+one DMA per 128-instance chunk TOTAL here).
+"""
+
+from __future__ import annotations
+
+import functools
+import os as _os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from omnigs_tpu.ops.binning import SEG_GRAN, E_SENTINEL
+from omnigs_tpu.ops.pallas_raster import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    CHUNK,
+    NROWS,
+    PX,
+    T_STOP,
+    TILE,
+    _B3,
+    _HALF,
+    _OP,
+    _R,
+    _X,
+    _Y,
+    _A,
+    _B,
+    _C,
+    _int_ct,
+    _split3,
+    _tri,
+    _u_basis,
+    _ut_basis,
+    ALPHA_MODE,
+    gather_reduce_rows,
+)
+
+KS = CHUNK // SEG_GRAN  # max distinct tile segments per chunk (16)
+# Mosaic proves dynamic sublane offsets only when they are statically a
+# multiple of 8, so per-chunk staging windows are quantized to 8 dense
+# rows and widened to KS2 entries — the ≤ 8 extra leading rows are tiles
+# that completed in earlier chunks, whose masks are empty and whose
+# accumulation contribution is exactly zero.
+KS2 = KS + 8
+ROWS_PER_TILE = 8  # dense-array rows per tile (alignment unit)
+# chunks per kernel program: amortizes the self-waited window DMAs;
+# env-overridable for on-chip sweeps
+CPB = int(_os.environ.get("OMNIGS_CPB", "32"))
+WS = KS * CPB + KS2  # dense-tile window entries per program
+
+
+def _dot_ab_exact(a_exact_f32, b_f32, dims):
+    """dot_general at ~f32 precision where ``a`` is EXACT in bf16 (0/1
+    masks): 3 single-pass bf16 matmuls over the 3-split of ``b``."""
+    a = a_exact_f32.astype(jnp.bfloat16)
+    b0, b1, b2 = _split3(b_f32)
+    acc = jax.lax.dot_general(
+        a, b0, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    acc = acc + jax.lax.dot_general(
+        a, b1, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    return acc + jax.lax.dot_general(
+        a, b2, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+
+
+def _dot_ba_exact(b_f32, a_exact_f32, dims):
+    """dot_general at ~f32 precision where the RIGHT operand is exact in
+    bf16: 3 single-pass bf16 matmuls over the 3-split of the left."""
+    a = a_exact_f32.astype(jnp.bfloat16)
+    b0, b1, b2 = _split3(b_f32)
+    acc = jax.lax.dot_general(
+        b0, a, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    acc = acc + jax.lax.dot_general(
+        b1, a, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+    return acc + jax.lax.dot_general(
+        b2, a, dimension_numbers=dims, preferred_element_type=jnp.float32
+    )
+
+
+def _cumsum_seg(x, tri_seg):
+    """Segmented lane cumsum: x @ (tri ∧ seg-equality), exact-in-bf16
+    3-split (the masked triangular matrix is still 0/1)."""
+    x0, x1, x2 = _split3(x)
+    acc = jnp.dot(x0, tri_seg, preferred_element_type=jnp.float32)
+    acc = acc + jnp.dot(x1, tri_seg, preferred_element_type=jnp.float32)
+    return acc + jnp.dot(x2, tri_seg, preferred_element_type=jnp.float32)
+
+
+def _seg_alpha(data, Ub, cx, cy, live_row):
+    """`pallas_raster._chunk_alpha` with per-LANE tile centers (1, CHUNK)
+    and window-derived liveness instead of (kbase, count)."""
+    A = data[_A : _A + 1, :]
+    B = data[_B : _B + 1, :]
+    C = data[_C : _C + 1, :]
+    op = data[_OP : _OP + 1, :]
+    xg = data[_X : _X + 1, :] - cx
+    yg = data[_Y : _Y + 1, :] - cy
+    if ALPHA_MODE == "mm":
+        w1 = A * xg + B * yg
+        w2 = B * xg + C * yg
+        w0 = -0.5 * (xg * w1 + yg * w2)
+        W = jnp.concatenate([w0, w1, w2, -0.5 * A, -B, -0.5 * C], axis=0)
+        from omnigs_tpu.ops.pallas_raster import _dot_exact3
+
+        power = _dot_exact3(Ub, W)
+    else:
+        p = jax.lax.broadcasted_iota(jnp.int32, (PX, 1), 0)
+        # single-rounded dx: cx − _HALF = x0 is exact integer algebra
+        px = (p % TILE).astype(jnp.float32) + (cx - _HALF)
+        py = (p // TILE).astype(jnp.float32) + (cy - _HALF)
+        dx = data[_X : _X + 1, :] - px
+        dy = data[_Y : _Y + 1, :] - py
+        power = -0.5 * (A * dx * dx + C * dy * dy) - B * dx * dy
+    opG = op * jnp.exp(jnp.minimum(power, 0.0))
+    alpha = jnp.minimum(ALPHA_MAX, opG)
+    live = live_row & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a = jnp.where(live, alpha, 0.0)
+    return a, live, opG, xg, yg, A, B, C, op
+
+
+def _window_scalars(ds_ref, dc_ref, dt_ref, t_base8, c, gx, td):
+    """Per-chunk tile-window state from the scalar-prefetched dense arrays:
+    one-hot segment masks in both orientations, per-lane tile centers,
+    liveness, and the straddler scalars. ``t_base8`` is the 8-quantized
+    window base; up to 8 leading entries are already-completed tiles with
+    empty masks."""
+    qrow = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    qcol = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+    masks = []
+    masksT = []
+    cx = jnp.zeros((1, CHUNK), jnp.float32)
+    cy = jnp.zeros((1, CHUNK), jnp.float32)
+    r_last = jnp.int32(0)
+    chunk_end = (c + 1) * CHUNK
+    for r in range(KS2):
+        di = jnp.minimum(t_base8 + r, td - 1)
+        s = ds_ref[di]
+        n = dc_ref[di]
+        tid = dt_ref[di]
+        m = (qrow >= s) & (qrow < s + n)
+        mT = (qcol >= s) & (qcol < s + n)
+        masks.append(m.astype(jnp.float32))
+        masksT.append(mT.astype(jnp.float32))
+        cxr = (jax.lax.rem(tid, gx) * TILE).astype(jnp.float32) + _HALF
+        cyr = ((tid // gx) * TILE).astype(jnp.float32) + _HALF
+        cx = cx + masks[r] * cxr
+        cy = cy + masks[r] * cyr
+        r_last = jnp.where((n > 0) & (s < chunk_end), jnp.int32(r), r_last)
+    onehot = jnp.concatenate(masks, axis=0)  # (KS2, CHUNK)
+    onehotT = jnp.concatenate(masksT, axis=1)  # (CHUNK, KS2)
+    live_row = jnp.sum(onehot, axis=0, keepdims=True) > 0.0
+    # straddler scalars (the last present segment)
+    dil = jnp.minimum(t_base8 + r_last, td - 1)
+    s_rl = ds_ref[dil]
+    n_rl = dc_ref[dil]
+    straddles = s_rl + n_rl > chunk_end
+    mask_sl = ((qrow >= s_rl) & (qrow < s_rl + n_rl)).astype(jnp.float32)
+    return (
+        onehot,
+        onehotT,
+        cx,
+        cy,
+        live_row,
+        r_last,
+        straddles,
+        mask_sl,
+    )
+
+
+def _expand8(parts, n_zero_tail):
+    """Stack per-tile (KS2, CHUNK) mask rows into the 8-row-per-tile
+    layout: rows 8r+k = parts[k], remaining rows zero."""
+    z = jnp.zeros_like(parts[0])
+    rows = parts + [z] * n_zero_tail
+    return jnp.stack(rows, axis=1).reshape(ROWS_PER_TILE * KS2, CHUNK)
+
+
+def _carried_mask(ds_ref, dc_ref, t_base, c, td):
+    """(1, CHUNK) mask of the chunk's carried-in segment (window row is
+    dynamic, so build it from scalars), plus the carried flag."""
+    di = jnp.minimum(t_base, td - 1)
+    s0 = ds_ref[di]
+    n0 = dc_ref[di]
+    carried = s0 < c * CHUNK
+    qrow = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    maskc = (qrow >= s0) & (qrow < s0 + n0) & carried
+    return maskc, carried
+
+
+def _fwd_seg_kernel(
+    # scalar prefetch
+    ds_ref,  # (TD,) dense segment start (slab8)
+    dc_ref,  # (TD,) dense segment count
+    dt_ref,  # (TD,) dense global tile id
+    cb_ref,  # (n_chunks,) chunk → first dense tile in window
+    live_ref,  # (1,) number of live chunks
+    # inputs
+    inst_ref,  # (NROWS, R8) HBM
+    # outputs
+    out_ref,  # (8·TDpad, PX) HBM — rows 8d+0..2 color, 8d+3 gated log-T
+    # scratch
+    buf,  # (2, NROWS, CHUNK) VMEM
+    stage,  # (8·WS, PX) VMEM accumulation window
+    carryN,  # (PX, 1) VMEM — ungated transmittance, column form
+    carryC,  # (3, PX) VMEM — straddler color partial (program boundary)
+    carryT,  # (1, PX) VMEM — straddler gated log-T partial
+    sems,  # DMA(2)
+    osem,  # DMA(1)
+    *,
+    gx: int,
+    td: int,
+):
+    p = pl.program_id(0)
+    live_chunks = live_ref[0]
+    c0 = p * CPB
+    self_live = c0 < live_chunks
+    Ub = _u_basis().astype(jnp.bfloat16)
+    tri_x = _tri(True)  # strict (exclusive), bf16
+
+    @pl.when(p == 0)
+    def _():
+        carryN[:] = jnp.ones((PX, 1), jnp.float32)
+        carryC[:] = jnp.zeros((3, PX), jnp.float32)
+        carryT[:] = jnp.zeros((1, PX), jnp.float32)
+
+    @pl.when(self_live)
+    def _():
+        ptb = cb_ref[c0]
+        n_hi = jnp.minimum(live_chunks, c0 + CPB)
+        stage[:] = jnp.zeros((ROWS_PER_TILE * WS, PX), jnp.float32)
+
+        def get_dma(slot, c):
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot]
+            )
+
+        get_dma(jax.lax.rem(c0, 2), c0).start()
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_hi)
+            def _():
+                get_dma(1 - slot, c + 1).start()
+
+            get_dma(slot, c).wait()
+            data = buf[slot]
+            t_base = cb_ref[c]
+            off = t_base - ptb
+            t_base8 = ptb + (off // 8) * 8
+            (
+                onehot,
+                onehotT,
+                cx,
+                cy,
+                live_row,
+                r_last,
+                straddles,
+                mask_sl,
+            ) = _window_scalars(ds_ref, dc_ref, dt_ref, t_base8, c, gx, td)
+            a, live, *_ = _seg_alpha(data, Ub, cx, cy, live_row)
+            one_m = 1.0 - a
+            l = jnp.log1p(-a)
+            # segment-equality matrix: one bf16 matmul of the two one-hot
+            # orientations (0/1 — exact); tri ∧ eq stays 0/1
+            eq = jnp.dot(
+                onehotT.astype(jnp.bfloat16),
+                onehot.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            tri_seg = tri_x * eq.astype(jnp.bfloat16)
+            cum_excl = _cumsum_seg(l, tri_seg)
+            maskc, carried = _carried_mask(ds_ref, dc_ref, t_base, c, td)
+            N_eff = jnp.where(maskc, carryN[:, 0:1], 1.0)
+            N_excl = N_eff * jnp.exp(cum_excl)
+            N_incl = N_excl * one_m
+            contrib = N_incl >= T_STOP
+            w = a * N_excl * contrib
+            lg = jnp.where(contrib, l, 0.0)
+            # per-tile partials straight into the 8-row layout: rows
+            # 8r+0..2 = Σ mask·rgb_ch·w (color), row 8r+3 = Σ mask·lg
+            # (gated log-T) — two matmuls whose masked operands place
+            # every output row
+            rgbT = data[_R : _B3 + 1, :]
+            mrgb8 = _expand8(
+                [
+                    onehot * rgbT[0:1, :],
+                    onehot * rgbT[1:2, :],
+                    onehot * rgbT[2:3, :],
+                ],
+                ROWS_PER_TILE - 3,
+            )
+            Y = jax.lax.dot_general(
+                mrgb8,
+                w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (8·KS2, PX)
+            oh8t = _expand8(
+                [jnp.zeros_like(onehot)] * 3 + [onehot],
+                ROWS_PER_TILE - 4,
+            )
+            Y = Y + _dot_ab_exact(oh8t, lg, (((1,), (1,)), ((), ())))
+            # program-boundary carry-in, injected once at the first chunk
+            # (its window row is dynamic → value-level row masks)
+            row_c0 = 8 * (t_base - t_base8)
+            ri = jax.lax.broadcasted_iota(
+                jnp.int32, (ROWS_PER_TILE * KS2, 1), 0
+            )
+            inj = (
+                (ri == row_c0) * carryC[0:1, :]
+                + (ri == row_c0 + 1) * carryC[1:2, :]
+                + (ri == row_c0 + 2) * carryC[2:3, :]
+                + (ri == row_c0 + 3) * carryT[:]
+            )
+            Y = Y + jnp.where((c == c0) & carried, inj, 0.0)
+            stage[
+                pl.ds(
+                    pl.multiple_of((off // 8) * (8 * ROWS_PER_TILE), 8),
+                    ROWS_PER_TILE * KS2,
+                ),
+                :,
+            ] += Y
+            # straddler carries (column-form N; color / gated-log-T via
+            # two small straddler-masked contractions)
+            lsum_st = jnp.sum(l * mask_sl, axis=1, keepdims=True)
+            from_carry = carried & (t_base8 + r_last == t_base)
+            n_in = jnp.where(from_carry, carryN[:, 0:1], 1.0)
+            carryN[:] = jnp.where(
+                straddles, n_in * jnp.exp(lsum_st), 1.0
+            )
+            contribC = jax.lax.dot_general(
+                rgbT * mask_sl,
+                w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (3, PX)
+            contribT = _dot_ab_exact(
+                mask_sl, lg, (((1,), (1,)), ((), ()))
+            )  # (1, PX)
+            c_in = jnp.where(from_carry, carryC[:], 0.0)
+            t_in = jnp.where(from_carry, carryT[:], 0.0)
+            carryC[:] = jnp.where(straddles, c_in + contribC, 0.0)
+            carryT[:] = jnp.where(straddles, t_in + contribT, 0.0)
+            return 0
+
+        jax.lax.fori_loop(c0, n_hi, body, 0)
+
+        # self-waited output DMA (no cross-program DMA state); the
+        # straddler's row holds a partial the next program overwrites
+        dma = pltpu.make_async_copy(
+            stage,
+            out_ref.at[
+                pl.ds(
+                    pl.multiple_of(ROWS_PER_TILE * ptb, 8),
+                    ROWS_PER_TILE * WS,
+                ),
+                :,
+            ],
+            osem.at[0],
+        )
+        dma.start()
+        dma.wait()
+
+
+def _bwd_seg_kernel(
+    # scalar prefetch
+    ds_ref,
+    dc_ref,
+    dt_ref,
+    cb_ref,
+    live_ref,
+    # inputs
+    inst_ref,  # (NROWS, R8) HBM
+    win_ref,  # (8·TDpad, PX) HBM — rows 8d+0..2 color_full, 8d+3..5 dL
+    zeros_ref,  # (NROWS, R8) HBM — aliased to dinst_ref
+    # outputs
+    dinst_ref,  # (NROWS, R8) HBM
+    # scratch
+    buf,  # (2, NROWS, CHUNK)
+    gbuf,  # (2, NROWS, CHUNK)
+    win,  # (8·WS, PX) VMEM window
+    carryN,  # (PX, 1)
+    carryP,  # (PX, 1) — dL_dot_prefix carry
+    sems,  # DMA(2)
+    out_sem,  # DMA(2)
+    wsem,  # DMA(1)
+    *,
+    gx: int,
+    td: int,
+):
+    p = pl.program_id(0)
+    live_chunks = live_ref[0]
+    c0 = p * CPB
+    self_live = c0 < live_chunks
+    Ub = _u_basis().astype(jnp.bfloat16)
+    Ut = _ut_basis()
+    tri_x = _tri(True)
+    tri_i = _tri(False)
+
+    @pl.when(p == 0)
+    def _():
+        carryN[:] = jnp.ones((PX, 1), jnp.float32)
+        carryP[:] = jnp.zeros((PX, 1), jnp.float32)
+
+    @pl.when(self_live)
+    def _():
+        ptb = cb_ref[c0]
+        n_hi = jnp.minimum(live_chunks, c0 + CPB)
+        # blocking window fetch (program-local, self-contained DMA state)
+        wdma = pltpu.make_async_copy(
+            win_ref.at[
+                pl.ds(
+                    pl.multiple_of(ROWS_PER_TILE * ptb, 8),
+                    ROWS_PER_TILE * WS,
+                ),
+                :,
+            ],
+            win,
+            wsem.at[0],
+        )
+        wdma.start()
+
+        def get_dma(slot, c):
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                inst_ref.at[:, pl.ds(off, CHUNK)], buf.at[slot], sems.at[slot]
+            )
+
+        def out_dma(c):
+            off = pl.multiple_of(c * CHUNK, CHUNK)
+            return pltpu.make_async_copy(
+                gbuf.at[jax.lax.rem(c, 2)],
+                dinst_ref.at[:, pl.ds(off, CHUNK)],
+                out_sem.at[jax.lax.rem(c, 2)],
+            )
+
+        get_dma(jax.lax.rem(c0, 2), c0).start()
+        wdma.wait()
+
+        def body(c, _):
+            slot = jax.lax.rem(c, 2)
+
+            @pl.when(c + 1 < n_hi)
+            def _():
+                get_dma(1 - slot, c + 1).start()
+
+            get_dma(slot, c).wait()
+            data = buf[slot]
+            t_base = cb_ref[c]
+            off = t_base - ptb
+            t_base8 = ptb + (off // 8) * 8
+            (
+                onehot,
+                onehotT,
+                cx,
+                cy,
+                live_row,
+                r_last,
+                straddles,
+                mask_sl,
+            ) = _window_scalars(ds_ref, dc_ref, dt_ref, t_base8, c, gx, td)
+            win8 = win[
+                pl.ds(
+                    pl.multiple_of((off // 8) * (8 * ROWS_PER_TILE), 8),
+                    ROWS_PER_TILE * KS2,
+                ),
+                :,
+            ]  # (8·KS2, PX): rows 8r+0..2 color_full, 8r+3..5 dL
+            a, live, opG, xg, yg, A, B, C, op = _seg_alpha(
+                data, Ub, cx, cy, live_row
+            )
+            one_m = 1.0 - a
+            l = jnp.log1p(-a)
+            eq = jnp.dot(
+                onehotT.astype(jnp.bfloat16),
+                onehot.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            eq16 = eq.astype(jnp.bfloat16)
+            tri_seg_x = tri_x * eq16
+            tri_seg_i = tri_i * eq16
+            cum_excl = _cumsum_seg(l, tri_seg_x)
+            maskc, carried = _carried_mask(ds_ref, dc_ref, t_base, c, td)
+            N_eff = jnp.where(maskc, carryN[:, 0:1], 1.0)
+            N_excl = N_eff * jnp.exp(cum_excl)
+            N_incl = N_excl * one_m
+            contrib = N_incl >= T_STOP
+            gate = live & contrib
+            w = a * N_excl * contrib
+
+            # u_i = Σ_ch dL_{tile(i)},ch · c_i,ch — the masked-rgb rows
+            # sit at 8r+3..5 to line up with the window's dL rows; the
+            # zero rows null the color_full rows in the contraction
+            rgbT = data[_R : _B3 + 1, :]
+            zero_oh = jnp.zeros_like(onehot)
+            mrgb8d = _expand8(
+                [
+                    zero_oh,
+                    zero_oh,
+                    zero_oh,
+                    onehot * rgbT[0:1, :],
+                    onehot * rgbT[1:2, :],
+                    onehot * rgbT[2:3, :],
+                ],
+                ROWS_PER_TILE - 6,
+            )
+            u = jax.lax.dot_general(
+                win8,
+                mrgb8d,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (PX, CHUNK)
+            wu = w * u
+            dl_wc_cum = _cumsum_seg(wu, tri_seg_i)
+            # per-lane dL·C_full of the lane's own tile: the color_full ×
+            # dL row products live at rows 8r+0..2 of win8 ⊙ roll(win8,−3)
+            prod = win8 * pltpu.roll(
+                win8, ROWS_PER_TILE * KS2 - 3, axis=0
+            )
+            oh3 = _expand8([onehot] * 3, ROWS_PER_TILE - 3)
+            dCf_lane = _dot_ba_exact(
+                prod, oh3, (((0,), (0,)), ((), ()))
+            )  # (PX, CHUNK)
+            pfx_lane = jnp.where(maskc, carryP[:, 0:1], 0.0)
+            dL_dot_B = dCf_lane - pfx_lane - dl_wc_cum
+            dL_da = jnp.where(gate, N_excl * u - dL_dot_B / one_m, 0.0)
+
+            # V-moment MXU backward (unchanged — the pixel basis is
+            # tile-local per lane already)
+            V = dL_da * opG
+            S = jnp.dot(
+                Ut, V, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            S0, S1, S2 = S[0:1, :], S[1:2, :], S[2:3, :]
+            S3, S4, S5 = S[3:4, :], S[4:5, :], S[5:6, :]
+            sVdx = xg * S0 - S1
+            sVdy = yg * S0 - S2
+            sVdxdx = xg * xg * S0 - 2.0 * xg * S1 + S3
+            sVdxdy = xg * yg * S0 - xg * S2 - yg * S1 + S4
+            sVdydy = yg * yg * S0 - 2.0 * yg * S2 + S5
+            inv_op = jnp.where(op > 0.0, 1.0 / op, 0.0)
+            # per-instance color grads: rows 8r+3..5 of win8ᵀ·w hold each
+            # tile's dL·w
+            drgbK = jnp.dot(
+                win8, w, preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (8·KS2, CHUNK)
+            dr = jnp.zeros((1, CHUNK), jnp.float32)
+            dg = jnp.zeros((1, CHUNK), jnp.float32)
+            db = jnp.zeros((1, CHUNK), jnp.float32)
+            for r in range(KS2):
+                m = onehot[r : r + 1, :]
+                b = ROWS_PER_TILE * r
+                dr = dr + m * drgbK[b + 3 : b + 4, :]
+                dg = dg + m * drgbK[b + 4 : b + 5, :]
+                db = db + m * drgbK[b + 5 : b + 6, :]
+            zero_row = jnp.zeros((1, CHUNK), jnp.float32)
+            rows = [
+                -(A * sVdx + B * sVdy),
+                -(C * sVdy + B * sVdx),
+                -0.5 * sVdxdx,
+                -sVdxdy,
+                -0.5 * sVdydy,
+                S0 * inv_op,
+                dr,
+                dg,
+                db,
+            ]
+            rows += [zero_row] * (NROWS - len(rows))
+            gdata = jnp.concatenate(rows, axis=0)
+
+            # chunk write-back: every chunk is written exactly once
+            @pl.when(c - 2 >= c0)
+            def _():
+                out_dma(c - 2).wait()
+
+            gbuf[jax.lax.rem(c, 2)] = gdata
+            out_dma(c).start()
+
+            # carries
+            lsum_st = jnp.sum(l * mask_sl, axis=1, keepdims=True)
+            wusum_st = jnp.sum(wu * mask_sl, axis=1, keepdims=True)
+            from_c = carried & (t_base8 + r_last == t_base)
+            n_in = jnp.where(from_c, carryN[:, 0:1], 1.0)
+            p_in = jnp.where(from_c, carryP[:, 0:1], 0.0)
+            carryN[:] = jnp.where(straddles, n_in * jnp.exp(lsum_st), 1.0)
+            carryP[:] = jnp.where(straddles, p_in + wusum_st, 0.0)
+            return 0
+
+        jax.lax.fori_loop(c0, n_hi, body, 0)
+
+        # drain the last two write-backs
+        @pl.when(n_hi - 2 >= c0)
+        def _():
+            out_dma(n_hi - 2).wait()
+
+        @pl.when(n_hi - 1 >= c0)
+        def _():
+            out_dma(n_hi - 1).wait()
+
+
+def _seg_aux(starts8, counts, live8, r8: int, num_tiles: int):
+    """Dense-tile enumeration + per-chunk window bases (host-side XLA)."""
+    td = num_tiles + 1
+    nonempty = counts > 0
+    pos = jnp.cumsum(nonempty.astype(jnp.int32)) - 1
+    tgt = jnp.where(nonempty, pos, td)  # empties dropped by mode="drop"
+    dense_start = (
+        jnp.full((td,), r8, jnp.int32).at[tgt].set(starts8, mode="drop")
+    )
+    dense_count = (
+        jnp.zeros((td,), jnp.int32).at[tgt].set(counts, mode="drop")
+    )
+    dense_tid = (
+        jnp.zeros((td,), jnp.int32)
+        .at[tgt]
+        .set(jnp.arange(num_tiles, dtype=jnp.int32), mode="drop")
+    )
+    n_chunks = r8 // CHUNK
+    cb = (
+        jnp.searchsorted(
+            dense_start,
+            jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK,
+            side="right",
+        ).astype(jnp.int32)
+        - 1
+    )
+    cb = jnp.clip(cb, 0, td - 1)
+    live_chunks = jnp.reshape(
+        (live8 + CHUNK - 1) // CHUNK, (1,)
+    ).astype(jnp.int32)
+    return dense_start, dense_count, dense_tid, cb, live_chunks, pos, nonempty
+
+
+def _build_inst_seg(means2d, conic, rgb, opacity, sorted_g8, live8, perm):
+    """(NROWS, R8) slab build with a zero sentinel row: pad/dead lanes carry
+    ``sorted_g8 == P`` and gather an all-zero instance (α = 0 ⇒ dead)."""
+    p = opacity.shape[0]
+    packed = jnp.concatenate(
+        [
+            means2d,
+            conic,
+            opacity[:, None],
+            rgb,
+            jnp.zeros((p, NROWS - 9), means2d.dtype),
+        ],
+        axis=-1,
+    )
+    if perm is not None:
+        packed = packed[perm]
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((1, NROWS), packed.dtype)]
+    )  # sentinel row P
+    idx = jnp.minimum(sorted_g8, p)
+    r8 = sorted_g8.shape[0]
+    CH = 1 << 16
+    if r8 % CH != 0 or r8 // CH <= 24:
+        return packed[idx].T  # (NROWS, R8)
+    n_chunks = jnp.minimum((live8 + CH - 1) // CH, r8 // CH)
+
+    def _body(carry):
+        out, i = carry
+        off = i * CH
+        g_c = jax.lax.dynamic_slice(idx, (off,), (CH,))
+        rows_c = packed[g_c].T
+        return jax.lax.dynamic_update_slice(out, rows_c, (0, off)), i + 1
+
+    out, _ = jax.lax.while_loop(
+        lambda c: c[1] < n_chunks,
+        _body,
+        (jnp.zeros((NROWS, r8), packed.dtype), jnp.int32(0)),
+    )
+    return out
+
+
+def composite_seg_fwd(
+    inst_T8, starts8, counts, live8, num_tiles: int, gx: int,
+    interpret: bool = False,
+):
+    """Run the segmented forward → (color (T,3,PX), finalT (T,PX))."""
+    r8 = inst_T8.shape[1]
+    td = num_tiles + 1
+    td_pad = td + WS
+    ds, dc, dt, cb, live_chunks, pos, nonempty = _seg_aux(
+        starts8, counts, live8, r8, num_tiles
+    )
+    n_chunks = r8 // CHUNK
+    n_prog = -(-n_chunks // CPB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_prog,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((ROWS_PER_TILE * WS, PX), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.VMEM((3, PX), jnp.float32),
+            pltpu.VMEM((1, PX), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    (out8,) = pl.pallas_call(
+        functools.partial(_fwd_seg_kernel, gx=gx, td=td),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((ROWS_PER_TILE * td_pad, PX), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ds, dc, dt, cb, live_chunks, inst_T8)
+    # dense rows → tile-major, defaults for empty tiles
+    base = ROWS_PER_TILE * jnp.clip(pos, 0, td_pad - 1)
+    idx3 = (base[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+    color = out8[idx3].reshape(num_tiles, 3, PX)
+    color = jnp.where(nonempty[:, None, None], color, 0.0)
+    finalT = jnp.exp(out8[base + 3])
+    finalT = jnp.where(nonempty[:, None], finalT, 1.0)
+    return color, finalT
+
+
+def _window8_from_tiles(color_full, dcolor, dense_tid, td_pad: int):
+    """(T, 3, PX) ×2 tile-major → (8·TDpad, PX) dense window rows: 8d+0..2
+    color_full, 8d+3..5 dL, 8d+6..7 zero."""
+    t = color_full.shape[0]
+    rows = jnp.concatenate(
+        [
+            color_full.reshape(t, 3, PX),
+            dcolor.reshape(t, 3, PX),
+            jnp.zeros((t, 2, PX), color_full.dtype),
+        ],
+        axis=1,
+    )  # (T, 8, PX)
+    sel = rows[jnp.clip(dense_tid, 0, t - 1)].reshape(-1, PX)
+    return jnp.pad(
+        sel, ((0, ROWS_PER_TILE * td_pad - sel.shape[0]), (0, 0))
+    )
+
+
+def composite_seg_bwd(
+    inst_T8, starts8, counts, live8, color_full, dcolor,
+    num_tiles: int, gx: int, interpret: bool = False,
+):
+    """Segmented backward → (NROWS, R8) per-instance gradient rows."""
+    r8 = inst_T8.shape[1]
+    td = num_tiles + 1
+    td_pad = td + WS
+    ds, dc, dt, cb, live_chunks, pos, nonempty = _seg_aux(
+        starts8, counts, live8, r8, num_tiles
+    )
+    win8 = _window8_from_tiles(color_full, dcolor, dt, td_pad)
+    n_chunks = r8 // CHUNK
+    n_prog = -(-n_chunks // CPB)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(n_prog,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        scratch_shapes=[
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((ROWS_PER_TILE * WS, PX), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.VMEM((PX, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+    )
+    zeros = jnp.zeros_like(inst_T8)
+    (dinst,) = pl.pallas_call(
+        functools.partial(_bwd_seg_kernel, gx=gx, td=td),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(inst_T8.shape, jnp.float32)],
+        input_output_aliases={7: 0},  # zeros (after 5 prefetch + 2 inputs)
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ds, dc, dt, cb, live_chunks, inst_T8, win8, zeros)
+    return dinst
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+def composite_instances_seg(
+    means2d,
+    conic,
+    rgb,
+    opacity,
+    bg,
+    sorted_g8,
+    starts8,
+    counts,
+    live8,
+    e8,
+    seg_lo,
+    seg_hi,
+    perm,
+    inv_perm,
+    num_tiles,
+    gx,
+    interpret,
+):
+    """Segmented-chunk compositing of an 8-granular slab
+    (`binning.segment_relay`). Same contracts as
+    `pallas_raster.composite_instances` with ``want_ncontrib=False``
+    (n_contrib returns zeros); the gradient reduction reuses the existing
+    gather (``e8``/``seg_lo``/``seg_hi``) and live-bound scatter paths.
+    """
+    inst_T8 = _build_inst_seg(
+        means2d, conic, rgb, opacity, sorted_g8, live8, perm
+    )
+    color, finalT = composite_seg_fwd(
+        inst_T8, starts8, counts, live8, num_tiles, gx, interpret
+    )
+    color = color + finalT[:, None, :] * bg[None, :, None]
+    ncontrib = jnp.zeros((num_tiles, PX), jnp.int32)
+    return color, finalT, ncontrib
+
+
+def _ci_seg_fwd(
+    means2d, conic, rgb, opacity, bg, sorted_g8, starts8, counts, live8,
+    e8, seg_lo, seg_hi, perm, inv_perm, num_tiles, gx, interpret,
+):
+    inst_T8 = _build_inst_seg(
+        means2d, conic, rgb, opacity, sorted_g8, live8, perm
+    )
+    color, finalT = composite_seg_fwd(
+        inst_T8, starts8, counts, live8, num_tiles, gx, interpret
+    )
+    color_full = color + finalT[:, None, :] * bg[None, :, None]
+    ncontrib = jnp.zeros((num_tiles, PX), jnp.int32)
+    res = (
+        inst_T8,
+        sorted_g8,
+        starts8,
+        counts,
+        live8,
+        e8,
+        seg_lo,
+        seg_hi,
+        perm,
+        inv_perm,
+        color_full,
+        bg,
+        means2d.shape[0],
+    )
+    return (color_full, finalT, ncontrib), res
+
+
+def _ci_seg_bwd(num_tiles, gx, interpret, res, cts):
+    (
+        inst_T8,
+        sorted_g8,
+        starts8,
+        counts,
+        live8,
+        e8,
+        seg_lo,
+        seg_hi,
+        perm,
+        inv_perm,
+        color_full,
+        bg,
+        P,
+    ) = res
+    dcolor = cts[0]
+    dinst = composite_seg_bwd(
+        inst_T8, starts8, counts, live8, color_full, dcolor,
+        num_tiles, gx, interpret,
+    )
+    r8 = sorted_g8.shape[0]
+    rows = dinst[:9, :].T  # (R8, 9)
+    if e8 is not None:
+        acc = gather_reduce_rows(rows, e8, seg_lo, seg_hi)
+    else:
+        # live-bound chunked scatter (pad lanes carry the P sentinel and
+        # drop; rows past live8 are donated zeros)
+        CH_R = 1 << 16
+        r_pad = -(-r8 // CH_R) * CH_R
+        ids_p = jnp.concatenate(
+            [sorted_g8, jnp.full((r_pad - r8,), P, jnp.int32)]
+        )
+        rows_p = jnp.concatenate(
+            [rows, jnp.zeros((r_pad - r8, 9), rows.dtype)]
+        )
+        n_chunks = jnp.minimum((live8 + CH_R - 1) // CH_R, r_pad // CH_R)
+
+        def _add_chunk(carry):
+            acc, i = carry
+            off = i * CH_R
+            ids_c = jax.lax.dynamic_slice(ids_p, (off,), (CH_R,))
+            rows_c = jax.lax.dynamic_slice(rows_p, (off, 0), (CH_R, 9))
+            return acc.at[ids_c].add(rows_c, mode="drop"), i + 1
+
+        acc, _ = jax.lax.while_loop(
+            lambda c: c[1] < n_chunks,
+            _add_chunk,
+            (jnp.zeros((P, 9)), jnp.int32(0)),
+        )
+    if inv_perm is not None:
+        acc = acc[inv_perm]
+    dm2d = acc[:, 0:2]
+    dcon = acc[:, 2:5]
+    dop = acc[:, 5]
+    drgb = acc[:, 6:9]
+    return (
+        dm2d,
+        dcon,
+        drgb,
+        dop,
+        jnp.zeros_like(bg),
+        _int_ct(sorted_g8),
+        _int_ct(starts8),
+        _int_ct(counts),
+        _int_ct(live8),
+        None if e8 is None else _int_ct(e8),
+        None if seg_lo is None else _int_ct(seg_lo),
+        None if seg_hi is None else _int_ct(seg_hi),
+        None if perm is None else _int_ct(perm),
+        None if inv_perm is None else _int_ct(inv_perm),
+    )
+
+
+composite_instances_seg.defvjp(_ci_seg_fwd, _ci_seg_bwd)

@@ -106,10 +106,27 @@ class RasterConfig:
     # (tile, depth) sort. Auto-falls-back to `bin_instances` when P > 2^19
     # or num_tiles ≥ 2^13−1, or with ghost_align.
     depth_presort: bool = False
+    # segmented-chunk kernels (ops/pallas_seg.py): re-lay the slab to
+    # 8-granular per-tile segments and walk it linearly — one kernel pass
+    # per 128-lane chunk, straddling tile boundaries, instead of a chunk
+    # walk per tile. Kills the ~47% masked chunk-lanes of the tile-major
+    # kernels at low instances/tile (BENCH.md r4 tile-size analysis) for
+    # an O(R) re-lay. Pixel outputs match to f32 summation-order noise
+    # (chunk grouping differs), not bitwise. Requires the Pallas backend;
+    # n_contrib is not computed (want_ncontrib must be False).
+    segmented: bool = False
 
     def __post_init__(self):
         assert self.tile_cap % self.chunk == 0
         assert self.backend in ("xla", "pallas")
+        if self.segmented:
+            assert self.backend == "pallas", "segmented needs Pallas"
+            assert not self.want_ncontrib, (
+                "segmented kernels do not compute n_contrib"
+            )
+            assert not self.ghost_align and not self.fused_reduce, (
+                "segmented replaces the ghost/fused layouts"
+            )
         if self.aligned_cap is not None and self.backend == "pallas":
             from omnigs_tpu.ops.pallas_raster import CHUNK
 
@@ -481,6 +498,49 @@ def rasterize(
         truncated = inst.truncated
         sorted_g, sorted_e = inst.sorted_g, inst.sorted_e
         starts, counts = inst.starts, inst.counts
+        if config.segmented:
+            from omnigs_tpu.ops.binning import segment_relay
+            from omnigs_tpu.ops.pallas_seg import composite_instances_seg
+
+            p_gauss = means3d.shape[0]
+            r8 = config.aligned_cap
+            if r8 is None:
+                r8 = -(-config.max_instances // PCHUNK) * PCHUNK
+            seg = segment_relay(
+                sorted_g, sorted_e, starts, counts, r8, p_gauss
+            )
+            color_t, T_t, n_t = composite_instances_seg(
+                means2d,
+                prep.conic,
+                rgb,
+                prep.opacity,
+                bg,
+                seg.sorted_g8,
+                seg.starts8,
+                seg.counts,
+                seg.live8,
+                seg.e8,
+                inst.seg_lo,
+                inst.seg_hi,
+                inst.perm,
+                inst.inv_perm,
+                gx * gy,
+                gx,
+                config.interpret,
+            )
+            image = _tiles_to_image(color_t, gx, gy, W, H)
+            final_T = jax.lax.stop_gradient(
+                _tiles_to_image(T_t, gx, gy, W, H)
+            )
+            n_contrib = _tiles_to_image(n_t, gx, gy, W, H)
+            return RenderResult(
+                image=image,
+                radii=prep.radii,
+                final_T=final_T,
+                n_contrib=n_contrib,
+                overflow=jnp.zeros((), jnp.int32),
+                truncated=truncated + seg.truncated,
+            )
         cap = config.aligned_cap
         # (sorted_e is NOT trimmed: the gather reduction needs every
         # survivor rank present — trimmed slab rows read the zero pad row)
