@@ -60,6 +60,7 @@ def main():
         want_ncontrib=False,
         gather_reduce=os.environ.get("OMNIGS_GATHER_REDUCE", "1") == "1",
         depth_presort=os.environ.get("OMNIGS_DEPTH_PRESORT", "1") == "1",
+        segmented=os.environ.get("OMNIGS_SEGMENTED", "0") == "1",
     )
     quick = os.environ.get("OMNIGS_BENCH_QUICK", "0") == "1"
     model = _example_model(capacity=P, n=P)

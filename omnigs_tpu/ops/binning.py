@@ -671,6 +671,12 @@ class SegLayout(NamedTuple):
     counts: jnp.ndarray  # (T,) int32 surviving count per tile (post-trim)
     truncated: jnp.ndarray  # () int32 instances dropped by the r8 cap
     live8: jnp.ndarray  # () int32 slab8 high-water mark
+    # per-slot ride values for the kernels' per-lane tile windows (exact
+    # below 2^24, ride the slab as f32 rows): the owning tile's DENSE
+    # (nonempty-enumeration) index and its global tile id. Pad lanes alias
+    # their tile's values — harmless, every contribution is α-gated.
+    ride_d: jnp.ndarray | None = None  # (R8,) int32 dense tile index
+    ride_t: jnp.ndarray | None = None  # (R8,) int32 global tile id
 
 
 def segment_relay(
@@ -719,38 +725,77 @@ def segment_relay(
 
     shift_at = _at_slots(starts8 - starts)  # src = j − shift
     end_at = _at_slots(starts8 + counts8)  # valid = j < end
+    # per-lane window metadata for the segmented kernels (dense tile index
+    # in the nonempty enumeration + global tile id), PACKED into one
+    # telescoped cumsum: both fields are < 2^13 non-negative prefix
+    # values, so the packed deltas accumulate without cross-field carries.
+    # Empty/dropped tiles alias their predecessor — all α-gated dead.
+    t = counts.shape[0]
+    assert t < (1 << 13), t
+    pos = jnp.cumsum((counts8 > 0).astype(jnp.int32)) - 1
+    packed_dt = _at_slots(
+        (jnp.clip(pos, 0, t) << 13)
+        | jnp.arange(t, dtype=jnp.int32)
+    )
+    ride_d = packed_dt >> 13
+    ride_t = packed_dt & ((1 << 13) - 1)
     j = jnp.arange(r8, dtype=jnp.int32)
     src = jnp.clip(j - shift_at, 0, r - 1)
     valid = j < end_at
 
-    # live-bound chunked payload gathers (cost ∝ live8, not the cap)
-    def _relay_payload(vals, sentinel):
-        CH = 1 << 16
-        if r8 % CH != 0 or r8 // CH <= 1:
-            return jnp.where(valid, _gather_1d(vals, src), sentinel)
+    # live-bound chunked payload gather: one fused row-gather pass for
+    # both payloads (g, and e when the gather reduction is on) — the
+    # row-fetch dominates `_gather_1d`, so fetching a double-width row
+    # once is ~40% cheaper than two passes
+    with_e = sorted_e is not None
+    n128 = -(-r // 128) * 128
+    gtab = jnp.pad(sorted_g, (0, n128 - r)).reshape(-1, 128)
+    if with_e:
+        etab = jnp.pad(sorted_e, (0, n128 - r)).reshape(-1, 128)
+        gtab = jnp.concatenate([gtab, etab], axis=1)  # (n128/128, 256)
+
+    def _fused_gather(src_c, valid_c):
+        rows = gtab[src_c // 128]  # (CH, 128) or (CH, 256) row gather
+        sel = (src_c % 128)[:, None] == jnp.arange(
+            128, dtype=src_c.dtype
+        )[None, :]
+        g_v = jnp.sum(jnp.where(sel, rows[:, :128], 0), axis=1)
+        g_o = jnp.where(valid_c, g_v, jnp.int32(p_sentinel))
+        if not with_e:
+            return g_o, None
+        e_v = jnp.sum(jnp.where(sel, rows[:, 128:], 0), axis=1)
+        return g_o, jnp.where(valid_c, e_v, jnp.int32(E_SENTINEL))
+
+    CH = 1 << 16
+    if r8 % CH != 0 or r8 // CH <= 1:
+        sorted_g8, e8 = _fused_gather(src, valid)
+    else:
         n_chunks = jnp.minimum((live8 + CH - 1) // CH, r8 // CH)
 
         def _body(carry):
-            out, i = carry
+            g_a, e_a, i = carry
             off = i * CH
             src_c = jax.lax.dynamic_slice(src, (off,), (CH,))
             val_c = jax.lax.dynamic_slice(valid, (off,), (CH,))
-            rows = jnp.where(val_c, _gather_1d(vals, src_c), sentinel)
-            return jax.lax.dynamic_update_slice(out, rows, (off,)), i + 1
+            g_c, e_c = _fused_gather(src_c, val_c)
+            g_a = jax.lax.dynamic_update_slice(g_a, g_c, (off,))
+            if with_e:
+                e_a = jax.lax.dynamic_update_slice(e_a, e_c, (off,))
+            return g_a, e_a, i + 1
 
-        out, _ = jax.lax.while_loop(
-            lambda c: c[1] < n_chunks,
+        sorted_g8, e8, _ = jax.lax.while_loop(
+            lambda c: c[2] < n_chunks,
             _body,
-            (jnp.full((r8,), sentinel, jnp.int32), jnp.int32(0)),
+            (
+                jnp.full((r8,), p_sentinel, jnp.int32),
+                jnp.full((r8,), E_SENTINEL, jnp.int32)
+                if with_e
+                else jnp.zeros((1,), jnp.int32),
+                jnp.int32(0),
+            ),
         )
-        return out
-
-    sorted_g8 = _relay_payload(sorted_g, jnp.int32(p_sentinel))
-    e8 = (
-        None
-        if sorted_e is None
-        else _relay_payload(sorted_e, jnp.int32(E_SENTINEL))
-    )
+    if not with_e:
+        e8 = None
     return SegLayout(
         sorted_g8=sorted_g8,
         e8=e8,
@@ -758,6 +803,8 @@ def segment_relay(
         counts=counts8,
         truncated=truncated,
         live8=live8,
+        ride_d=ride_d,
+        ride_t=ride_t,
     )
 
 

@@ -94,11 +94,12 @@ KS = CHUNK // SEG_GRAN  # max distinct tile segments per chunk (16)
 # that completed in earlier chunks, whose masks are empty and whose
 # accumulation contribution is exactly zero.
 KS2 = KS + 8
-ROWS_PER_TILE = 8  # dense-array rows per tile (alignment unit)
 # chunks per kernel program: amortizes the self-waited window DMAs;
 # env-overridable for on-chip sweeps
 CPB = int(_os.environ.get("OMNIGS_CPB", "32"))
-WS = KS * CPB + KS2  # dense-tile window entries per program
+# dense-tile window entries per program (+8 for the 8-quantized program
+# base, +KS2 for the widened per-chunk window)
+WS = KS * CPB + KS2 + 8
 
 
 def _dot_ab_exact(a_exact_f32, b_f32, dims):
@@ -174,72 +175,49 @@ def _seg_alpha(data, Ub, cx, cy, live_row):
     return a, live, opG, xg, yg, A, B, C, op
 
 
-def _window_scalars(ds_ref, dc_ref, dt_ref, t_base8, c, gx, td):
-    """Per-chunk tile-window state from the scalar-prefetched dense arrays:
-    one-hot segment masks in both orientations, per-lane tile centers,
-    liveness, and the straddler scalars. ``t_base8`` is the 8-quantized
-    window base; up to 8 leading entries are already-completed tiles with
-    empty masks."""
-    qrow = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    qcol = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
-    masks = []
-    masksT = []
-    cx = jnp.zeros((1, CHUNK), jnp.float32)
-    cy = jnp.zeros((1, CHUNK), jnp.float32)
-    r_last = jnp.int32(0)
-    chunk_end = (c + 1) * CHUNK
-    for r in range(KS2):
-        di = jnp.minimum(t_base8 + r, td - 1)
-        s = ds_ref[di]
-        n = dc_ref[di]
-        tid = dt_ref[di]
-        m = (qrow >= s) & (qrow < s + n)
-        mT = (qcol >= s) & (qcol < s + n)
-        masks.append(m.astype(jnp.float32))
-        masksT.append(mT.astype(jnp.float32))
-        cxr = (jax.lax.rem(tid, gx) * TILE).astype(jnp.float32) + _HALF
-        cyr = ((tid // gx) * TILE).astype(jnp.float32) + _HALF
-        cx = cx + masks[r] * cxr
-        cy = cy + masks[r] * cyr
-        r_last = jnp.where((n > 0) & (s < chunk_end), jnp.int32(r), r_last)
-    onehot = jnp.concatenate(masks, axis=0)  # (KS2, CHUNK)
-    onehotT = jnp.concatenate(masksT, axis=1)  # (CHUNK, KS2)
-    live_row = jnp.sum(onehot, axis=0, keepdims=True) > 0.0
-    # straddler scalars (the last present segment)
+# slab ride rows written by _build_inst_seg (binning.segment_relay values)
+_SEG_ROW = 9  # per-lane dense tile index (f32, exact < 2^24)
+_TID_ROW = 10  # per-lane global tile id (f32)
+
+
+def _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td):
+    """Per-chunk tile-window state from the per-lane RIDE rows: one-hot
+    segment masks and segment equality come from (1, CHUNK)-shaped
+    compares plus one native 128×128 transpose — the earlier
+    scalar-loop/maskT construction cost ~24 (CHUNK, 1)-shaped ops per
+    chunk (16 VPU sub-ops each), which dominated the whole kernel."""
+    segrow = data[_SEG_ROW : _SEG_ROW + 1, :]  # (1, CHUNK) f32 dense idx
+    tid = data[_TID_ROW : _TID_ROW + 1, :].astype(jnp.int32)
+    local = segrow - t_base8.astype(jnp.float32)
+    onehot = jnp.concatenate(
+        [(local == float(r)).astype(jnp.float32) for r in range(KS2)],
+        axis=0,
+    )  # (KS2, CHUNK)
+    tx = jax.lax.rem(tid, gx)
+    ty = tid // gx
+    cx = (tx * TILE).astype(jnp.float32) + _HALF
+    cy = (ty * TILE).astype(jnp.float32) + _HALF
+    live_row = (local >= 0.0) & (local <= float(KS2 - 1))
+    # segment equality: broadcast the seg row over rows and compare with
+    # its own transpose (one native (CHUNK, CHUNK) transpose)
+    m1 = jnp.broadcast_to(segrow, (CHUNK, CHUNK))
+    eq16 = (m1 == m1.T).astype(jnp.bfloat16)
+    # straddler: the chunk's last present segment = max local index
+    r_last = jnp.maximum(
+        jnp.max(jnp.where(live_row, local, -1.0)), 0.0
+    ).astype(jnp.int32)
     dil = jnp.minimum(t_base8 + r_last, td - 1)
-    s_rl = ds_ref[dil]
-    n_rl = dc_ref[dil]
-    straddles = s_rl + n_rl > chunk_end
-    mask_sl = ((qrow >= s_rl) & (qrow < s_rl + n_rl)).astype(jnp.float32)
-    return (
-        onehot,
-        onehotT,
-        cx,
-        cy,
-        live_row,
-        r_last,
-        straddles,
-        mask_sl,
-    )
+    straddles = ds_ref[dil] + dc_ref[dil] > (c + 1) * CHUNK
+    mask_sl = (local == r_last.astype(jnp.float32)).astype(jnp.float32)
+    return onehot, eq16, cx, cy, live_row, r_last, straddles, mask_sl
 
 
-def _expand8(parts, n_zero_tail):
-    """Stack per-tile (KS2, CHUNK) mask rows into the 8-row-per-tile
-    layout: rows 8r+k = parts[k], remaining rows zero."""
-    z = jnp.zeros_like(parts[0])
-    rows = parts + [z] * n_zero_tail
-    return jnp.stack(rows, axis=1).reshape(ROWS_PER_TILE * KS2, CHUNK)
-
-
-def _carried_mask(ds_ref, dc_ref, t_base, c, td):
-    """(1, CHUNK) mask of the chunk's carried-in segment (window row is
-    dynamic, so build it from scalars), plus the carried flag."""
-    di = jnp.minimum(t_base, td - 1)
-    s0 = ds_ref[di]
-    n0 = dc_ref[di]
-    carried = s0 < c * CHUNK
-    qrow = c * CHUNK + jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    maskc = (qrow >= s0) & (qrow < s0 + n0) & carried
+def _carried_mask(data, ds_ref, t_base, c, td):
+    """(1, CHUNK) mask of the chunk's carried-in segment (from the ride
+    row), plus the carried flag."""
+    carried = ds_ref[jnp.minimum(t_base, td - 1)] < c * CHUNK
+    segrow = data[_SEG_ROW : _SEG_ROW + 1, :]
+    maskc = (segrow == t_base.astype(jnp.float32)) & carried
     return maskc, carried
 
 
@@ -252,16 +230,18 @@ def _fwd_seg_kernel(
     live_ref,  # (1,) number of live chunks
     # inputs
     inst_ref,  # (NROWS, R8) HBM
-    # outputs
-    out_ref,  # (8·TDpad, PX) HBM — rows 8d+0..2 color, 8d+3 gated log-T
+    # outputs (accumulated in place across programs: each program
+    # re-reads its 8-row boundary block, so program-boundary straddler
+    # partials need no carry state at all)
+    out_c_ref,  # (3·TDpad, PX) HBM — dense color rows
+    out_t_ref,  # (TDpad, PX) HBM — dense gated LOG-T rows (exp in XLA)
     # scratch
     buf,  # (2, NROWS, CHUNK) VMEM
-    stage,  # (8·WS, PX) VMEM accumulation window
+    stage_c,  # (3·WS, PX) VMEM accumulation window
+    stage_t,  # (WS, PX) VMEM accumulation window (log domain)
     carryN,  # (PX, 1) VMEM — ungated transmittance, column form
-    carryC,  # (3, PX) VMEM — straddler color partial (program boundary)
-    carryT,  # (1, PX) VMEM — straddler gated log-T partial
     sems,  # DMA(2)
-    osem,  # DMA(1)
+    osem,  # DMA(2)
     *,
     gx: int,
     td: int,
@@ -276,14 +256,29 @@ def _fwd_seg_kernel(
     @pl.when(p == 0)
     def _():
         carryN[:] = jnp.ones((PX, 1), jnp.float32)
-        carryC[:] = jnp.zeros((3, PX), jnp.float32)
-        carryT[:] = jnp.zeros((1, PX), jnp.float32)
 
     @pl.when(self_live)
     def _():
         ptb = cb_ref[c0]
+        ptb8 = pl.multiple_of((ptb // 8) * 8, 8)
         n_hi = jnp.minimum(live_chunks, c0 + CPB)
-        stage[:] = jnp.zeros((ROWS_PER_TILE * WS, PX), jnp.float32)
+        # boundary re-read: the ≤ 8 leading window rows hold earlier
+        # programs' results (completed tiles pass through unchanged; the
+        # straddler's staged PARTIAL is the program-boundary carry)
+        rb_c = pltpu.make_async_copy(
+            out_c_ref.at[pl.ds(3 * ptb8, 24), :],
+            stage_c.at[0:24, :],
+            osem.at[0],
+        )
+        rb_t = pltpu.make_async_copy(
+            out_t_ref.at[pl.ds(ptb8, 8), :],
+            stage_t.at[0:8, :],
+            osem.at[1],
+        )
+        rb_c.start()
+        rb_t.start()
+        stage_c[24:, :] = jnp.zeros((3 * WS - 24, PX), jnp.float32)
+        stage_t[8:, :] = jnp.zeros((WS - 8, PX), jnp.float32)
 
         def get_dma(slot, c):
             off = pl.multiple_of(c * CHUNK, CHUNK)
@@ -292,6 +287,14 @@ def _fwd_seg_kernel(
             )
 
         get_dma(jax.lax.rem(c0, 2), c0).start()
+        rb_c.wait()
+        rb_t.wait()
+
+        @pl.when(p == 0)
+        def _():
+            # nothing to re-read before the first program
+            stage_c[0:24, :] = jnp.zeros((24, PX), jnp.float32)
+            stage_t[0:8, :] = jnp.zeros((8, PX), jnp.float32)
 
         def body(c, _):
             slot = jax.lax.rem(c, 2)
@@ -303,123 +306,80 @@ def _fwd_seg_kernel(
             get_dma(slot, c).wait()
             data = buf[slot]
             t_base = cb_ref[c]
-            off = t_base - ptb
-            t_base8 = ptb + (off // 8) * 8
+            off = t_base - ptb8
+            t_base8 = ptb8 + (off // 8) * 8
             (
                 onehot,
-                onehotT,
+                eq16,
                 cx,
                 cy,
                 live_row,
                 r_last,
                 straddles,
                 mask_sl,
-            ) = _window_scalars(ds_ref, dc_ref, dt_ref, t_base8, c, gx, td)
+            ) = _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td)
             a, live, *_ = _seg_alpha(data, Ub, cx, cy, live_row)
             one_m = 1.0 - a
             l = jnp.log1p(-a)
-            # segment-equality matrix: one bf16 matmul of the two one-hot
-            # orientations (0/1 — exact); tri ∧ eq stays 0/1
-            eq = jnp.dot(
-                onehotT.astype(jnp.bfloat16),
-                onehot.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            tri_seg = tri_x * eq.astype(jnp.bfloat16)
+            # tri ∧ seg-equality stays 0/1 — exact in bf16
+            tri_seg = tri_x * eq16
             cum_excl = _cumsum_seg(l, tri_seg)
-            maskc, carried = _carried_mask(ds_ref, dc_ref, t_base, c, td)
+            maskc, carried = _carried_mask(data, ds_ref, t_base, c, td)
             N_eff = jnp.where(maskc, carryN[:, 0:1], 1.0)
             N_excl = N_eff * jnp.exp(cum_excl)
             N_incl = N_excl * one_m
             contrib = N_incl >= T_STOP
             w = a * N_excl * contrib
             lg = jnp.where(contrib, l, 0.0)
-            # per-tile partials straight into the 8-row layout: rows
-            # 8r+0..2 = Σ mask·rgb_ch·w (color), row 8r+3 = Σ mask·lg
-            # (gated log-T) — two matmuls whose masked operands place
-            # every output row
+            # per-tile color / gated-log-T partials — matmuls at natural M
             rgbT = data[_R : _B3 + 1, :]
-            mrgb8 = _expand8(
-                [
-                    onehot * rgbT[0:1, :],
-                    onehot * rgbT[1:2, :],
-                    onehot * rgbT[2:3, :],
-                ],
-                ROWS_PER_TILE - 3,
+            mrgb = (onehot[:, None, :] * rgbT[None, :, :]).reshape(
+                3 * KS2, CHUNK
             )
-            Y = jax.lax.dot_general(
-                mrgb8,
+            colorY = jax.lax.dot_general(
+                mrgb,
                 w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (8·KS2, PX)
-            oh8t = _expand8(
-                [jnp.zeros_like(onehot)] * 3 + [onehot],
-                ROWS_PER_TILE - 4,
-            )
-            Y = Y + _dot_ab_exact(oh8t, lg, (((1,), (1,)), ((), ())))
-            # program-boundary carry-in, injected once at the first chunk
-            # (its window row is dynamic → value-level row masks)
-            row_c0 = 8 * (t_base - t_base8)
-            ri = jax.lax.broadcasted_iota(
-                jnp.int32, (ROWS_PER_TILE * KS2, 1), 0
-            )
-            inj = (
-                (ri == row_c0) * carryC[0:1, :]
-                + (ri == row_c0 + 1) * carryC[1:2, :]
-                + (ri == row_c0 + 2) * carryC[2:3, :]
-                + (ri == row_c0 + 3) * carryT[:]
-            )
-            Y = Y + jnp.where((c == c0) & carried, inj, 0.0)
-            stage[
-                pl.ds(
-                    pl.multiple_of((off // 8) * (8 * ROWS_PER_TILE), 8),
-                    ROWS_PER_TILE * KS2,
-                ),
-                :,
-            ] += Y
-            # straddler carries (column-form N; color / gated-log-T via
-            # two small straddler-masked contractions)
+            )  # (3·KS2, PX)
+            tY = _dot_ab_exact(
+                onehot, lg, (((1,), (1,)), ((), ()))
+            )  # (KS2, PX)
+            stage_c[
+                pl.ds(pl.multiple_of((off // 8) * 24, 8), 3 * KS2), :
+            ] += colorY
+            stage_t[
+                pl.ds(pl.multiple_of((off // 8) * 8, 8), KS2), :
+            ] += tY
+            # column-form ungated-N carry for the straddler (color/log-T
+            # partials cross program boundaries via the HBM re-read)
             lsum_st = jnp.sum(l * mask_sl, axis=1, keepdims=True)
             from_carry = carried & (t_base8 + r_last == t_base)
             n_in = jnp.where(from_carry, carryN[:, 0:1], 1.0)
             carryN[:] = jnp.where(
                 straddles, n_in * jnp.exp(lsum_st), 1.0
             )
-            contribC = jax.lax.dot_general(
-                rgbT * mask_sl,
-                w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (3, PX)
-            contribT = _dot_ab_exact(
-                mask_sl, lg, (((1,), (1,)), ((), ()))
-            )  # (1, PX)
-            c_in = jnp.where(from_carry, carryC[:], 0.0)
-            t_in = jnp.where(from_carry, carryT[:], 0.0)
-            carryC[:] = jnp.where(straddles, c_in + contribC, 0.0)
-            carryT[:] = jnp.where(straddles, t_in + contribT, 0.0)
             return 0
 
         jax.lax.fori_loop(c0, n_hi, body, 0)
 
-        # self-waited output DMA (no cross-program DMA state); the
-        # straddler's row holds a partial the next program overwrites
-        dma = pltpu.make_async_copy(
-            stage,
-            out_ref.at[
-                pl.ds(
-                    pl.multiple_of(ROWS_PER_TILE * ptb, 8),
-                    ROWS_PER_TILE * WS,
-                ),
-                :,
-            ],
+        # self-waited output DMAs (no cross-program DMA state); the
+        # straddler's row holds a partial the next program re-reads
+        dma_c = pltpu.make_async_copy(
+            stage_c,
+            out_c_ref.at[pl.ds(3 * ptb8, 3 * WS), :],
             osem.at[0],
         )
-        dma.start()
-        dma.wait()
+        dma_t = pltpu.make_async_copy(
+            stage_t,
+            out_t_ref.at[pl.ds(ptb8, WS), :],
+            osem.at[1],
+        )
+        dma_c.start()
+        dma_t.start()
+        dma_c.wait()
+        dma_t.wait()
 
 
 def _bwd_seg_kernel(
@@ -431,22 +391,25 @@ def _bwd_seg_kernel(
     live_ref,
     # inputs
     inst_ref,  # (NROWS, R8) HBM
-    win_ref,  # (8·TDpad, PX) HBM — rows 8d+0..2 color_full, 8d+3..5 dL
+    cf_ref,  # (3·TDpad, PX) HBM — dense color_full rows
+    dl_ref,  # (3·TDpad, PX) HBM — dense dL rows
     zeros_ref,  # (NROWS, R8) HBM — aliased to dinst_ref
     # outputs
     dinst_ref,  # (NROWS, R8) HBM
     # scratch
     buf,  # (2, NROWS, CHUNK)
     gbuf,  # (2, NROWS, CHUNK)
-    win,  # (8·WS, PX) VMEM window
+    wcf,  # (3, WS, PX) VMEM window, channel-major blocks
+    wdl,  # (3, WS, PX) VMEM window, channel-major blocks
     carryN,  # (PX, 1)
     carryP,  # (PX, 1) — dL_dot_prefix carry
     sems,  # DMA(2)
     out_sem,  # DMA(2)
-    wsem,  # DMA(1)
+    wsem,  # DMA(6)
     *,
     gx: int,
     td: int,
+    td_pad: int,
 ):
     p = pl.program_id(0)
     live_chunks = live_ref[0]
@@ -465,20 +428,26 @@ def _bwd_seg_kernel(
     @pl.when(self_live)
     def _():
         ptb = cb_ref[c0]
+        ptb8 = pl.multiple_of((ptb // 8) * 8, 8)
         n_hi = jnp.minimum(live_chunks, c0 + CPB)
-        # blocking window fetch (program-local, self-contained DMA state)
-        wdma = pltpu.make_async_copy(
-            win_ref.at[
-                pl.ds(
-                    pl.multiple_of(ROWS_PER_TILE * ptb, 8),
-                    ROWS_PER_TILE * WS,
-                ),
-                :,
-            ],
-            win,
-            wsem.at[0],
-        )
-        wdma.start()
+        # blocking window fetches (program-local, self-contained DMA
+        # state): one DMA per channel block of each array
+        wdmas = []
+        for ch in range(3):
+            src = pl.multiple_of(ch * td_pad + ptb8, 8)
+            wdmas.append(
+                pltpu.make_async_copy(
+                    cf_ref.at[pl.ds(src, WS), :], wcf.at[ch], wsem.at[ch]
+                )
+            )
+            wdmas.append(
+                pltpu.make_async_copy(
+                    dl_ref.at[pl.ds(src, WS), :], wdl.at[ch],
+                    wsem.at[3 + ch],
+                )
+            )
+        for d in wdmas:
+            d.start()
 
         def get_dma(slot, c):
             off = pl.multiple_of(c * CHUNK, CHUNK)
@@ -495,7 +464,8 @@ def _bwd_seg_kernel(
             )
 
         get_dma(jax.lax.rem(c0, 2), c0).start()
-        wdma.wait()
+        for d in wdmas:
+            d.wait()
 
         def body(c, _):
             slot = jax.lax.rem(c, 2)
@@ -507,40 +477,30 @@ def _bwd_seg_kernel(
             get_dma(slot, c).wait()
             data = buf[slot]
             t_base = cb_ref[c]
-            off = t_base - ptb
-            t_base8 = ptb + (off // 8) * 8
+            off = t_base - ptb8
+            t_base8 = ptb8 + (off // 8) * 8
             (
                 onehot,
-                onehotT,
+                eq16,
                 cx,
                 cy,
                 live_row,
                 r_last,
                 straddles,
                 mask_sl,
-            ) = _window_scalars(ds_ref, dc_ref, dt_ref, t_base8, c, gx, td)
-            win8 = win[
-                pl.ds(
-                    pl.multiple_of((off // 8) * (8 * ROWS_PER_TILE), 8),
-                    ROWS_PER_TILE * KS2,
-                ),
-                :,
-            ]  # (8·KS2, PX): rows 8r+0..2 color_full, 8r+3..5 dL
+            ) = _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td)
+            w_off = pl.multiple_of((off // 8) * 8, 8)
+            cf3 = [wcf[ch, pl.ds(w_off, KS2), :] for ch in range(3)]
+            dl3 = [wdl[ch, pl.ds(w_off, KS2), :] for ch in range(3)]
             a, live, opG, xg, yg, A, B, C, op = _seg_alpha(
                 data, Ub, cx, cy, live_row
             )
             one_m = 1.0 - a
             l = jnp.log1p(-a)
-            eq = jnp.dot(
-                onehotT.astype(jnp.bfloat16),
-                onehot.astype(jnp.bfloat16),
-                preferred_element_type=jnp.float32,
-            )
-            eq16 = eq.astype(jnp.bfloat16)
             tri_seg_x = tri_x * eq16
             tri_seg_i = tri_i * eq16
             cum_excl = _cumsum_seg(l, tri_seg_x)
-            maskc, carried = _carried_mask(ds_ref, dc_ref, t_base, c, td)
+            maskc, carried = _carried_mask(data, ds_ref, t_base, c, td)
             N_eff = jnp.where(maskc, carryN[:, 0:1], 1.0)
             N_excl = N_eff * jnp.exp(cum_excl)
             N_incl = N_excl * one_m
@@ -548,51 +508,43 @@ def _bwd_seg_kernel(
             gate = live & contrib
             w = a * N_excl * contrib
 
-            # u_i = Σ_ch dL_{tile(i)},ch · c_i,ch — the masked-rgb rows
-            # sit at 8r+3..5 to line up with the window's dL rows; the
-            # zero rows null the color_full rows in the contraction
+            # Per-lane broadcasts of each tile's per-pixel rows via ONE
+            # K=KS2 one-hot contraction per quantity (MXU pass time scales
+            # with K; the K=3·KS2 masked-rgb contraction measured ~2×
+            # dearer). Stack [dL_ch0; dL_ch1; dL_ch2; Σ_ch dL·C_full].
             rgbT = data[_R : _B3 + 1, :]
-            zero_oh = jnp.zeros_like(onehot)
-            mrgb8d = _expand8(
-                [
-                    zero_oh,
-                    zero_oh,
-                    zero_oh,
-                    onehot * rgbT[0:1, :],
-                    onehot * rgbT[1:2, :],
-                    onehot * rgbT[2:3, :],
-                ],
-                ROWS_PER_TILE - 6,
+            Ccat = (
+                dl3[0] * cf3[0] + dl3[1] * cf3[1] + dl3[2] * cf3[2]
+            )  # (KS2, PX)
+            stacked = jnp.concatenate(
+                [dl3[0], dl3[1], dl3[2], Ccat], axis=0
+            )  # (4·KS2, PX)
+            # 4 independent K=KS2 broadcasts (block-diagonal contraction)
+            bc = [
+                _dot_ba_exact(
+                    stacked[i * KS2 : (i + 1) * KS2],
+                    onehot,
+                    (((0,), (0,)), ((), ())),
+                )
+                for i in range(4)
+            ]  # 4 × (PX, CHUNK)
+            u = (
+                bc[0] * rgbT[0:1, :]
+                + bc[1] * rgbT[1:2, :]
+                + bc[2] * rgbT[2:3, :]
             )
-            u = jax.lax.dot_general(
-                win8,
-                mrgb8d,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (PX, CHUNK)
             wu = w * u
             dl_wc_cum = _cumsum_seg(wu, tri_seg_i)
-            # per-lane dL·C_full of the lane's own tile: the color_full ×
-            # dL row products live at rows 8r+0..2 of win8 ⊙ roll(win8,−3)
-            prod = win8 * pltpu.roll(
-                win8, ROWS_PER_TILE * KS2 - 3, axis=0
-            )
-            oh3 = _expand8([onehot] * 3, ROWS_PER_TILE - 3)
-            dCf_lane = _dot_ba_exact(
-                prod, oh3, (((0,), (0,)), ((), ()))
-            )  # (PX, CHUNK)
+            dCf_lane = bc[3]  # (PX, CHUNK)
             pfx_lane = jnp.where(maskc, carryP[:, 0:1], 0.0)
             dL_dot_B = dCf_lane - pfx_lane - dl_wc_cum
             dL_da = jnp.where(gate, N_excl * u - dL_dot_B / one_m, 0.0)
 
-            # V-moment MXU backward (unchanged — the pixel basis is
-            # tile-local per lane already)
+            # V-moment MXU backward (the pixel basis is tile-local per
+            # lane already). Ut's entries are half-integer products — EXACT
+            # in bf16 — so the 3-split runs at half the passes of HIGHEST.
             V = dL_da * opG
-            S = jnp.dot(
-                Ut, V, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            S = _dot_ab_exact(Ut, V, (((1,), (0,)), ((), ())))
             S0, S1, S2 = S[0:1, :], S[1:2, :], S[2:3, :]
             S3, S4, S5 = S[3:4, :], S[4:5, :], S[5:6, :]
             sVdx = xg * S0 - S1
@@ -601,21 +553,11 @@ def _bwd_seg_kernel(
             sVdxdy = xg * yg * S0 - xg * S2 - yg * S1 + S4
             sVdydy = yg * yg * S0 - 2.0 * yg * S2 + S5
             inv_op = jnp.where(op > 0.0, 1.0 / op, 0.0)
-            # per-instance color grads: rows 8r+3..5 of win8ᵀ·w hold each
-            # tile's dL·w
-            drgbK = jnp.dot(
-                win8, w, preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (8·KS2, CHUNK)
-            dr = jnp.zeros((1, CHUNK), jnp.float32)
-            dg = jnp.zeros((1, CHUNK), jnp.float32)
-            db = jnp.zeros((1, CHUNK), jnp.float32)
-            for r in range(KS2):
-                m = onehot[r : r + 1, :]
-                b = ROWS_PER_TILE * r
-                dr = dr + m * drgbK[b + 3 : b + 4, :]
-                dg = dg + m * drgbK[b + 4 : b + 5, :]
-                db = db + m * drgbK[b + 5 : b + 6, :]
+            # per-instance color grads: with the per-lane dL broadcasts in
+            # hand these are plain sublane reductions — no K=PX matmul
+            dr = jnp.sum(bc[0] * w, axis=0, keepdims=True)
+            dg = jnp.sum(bc[1] * w, axis=0, keepdims=True)
+            db = jnp.sum(bc[2] * w, axis=0, keepdims=True)
             zero_row = jnp.zeros((1, CHUNK), jnp.float32)
             rows = [
                 -(A * sVdx + B * sVdy),
@@ -694,9 +636,12 @@ def _seg_aux(starts8, counts, live8, r8: int, num_tiles: int):
     return dense_start, dense_count, dense_tid, cb, live_chunks, pos, nonempty
 
 
-def _build_inst_seg(means2d, conic, rgb, opacity, sorted_g8, live8, perm):
-    """(NROWS, R8) slab build with a zero sentinel row: pad/dead lanes carry
-    ``sorted_g8 == P`` and gather an all-zero instance (α = 0 ⇒ dead)."""
+def _build_inst_seg(
+    means2d, conic, rgb, opacity, sorted_g8, live8, perm, ride_d, ride_t
+):
+    """(NROWS, R8) slab build with a zero sentinel row (pad/dead lanes
+    carry ``sorted_g8 == P`` and gather an all-zero instance → α = 0 ⇒
+    dead) plus the per-lane window ride rows (_SEG_ROW/_TID_ROW)."""
     p = opacity.shape[0]
     packed = jnp.concatenate(
         [
@@ -715,17 +660,37 @@ def _build_inst_seg(means2d, conic, rgb, opacity, sorted_g8, live8, perm):
     )  # sentinel row P
     idx = jnp.minimum(sorted_g8, p)
     r8 = sorted_g8.shape[0]
+
+    def _with_rides(rows, rd, rt):
+        # splice the per-slot ride rows into the gathered block (a value
+        # concat that fuses with the gather — a post-hoc
+        # dynamic_update_slice on the full slab costs a whole extra copy)
+        return jnp.concatenate(
+            [
+                rows[:_SEG_ROW],
+                rd.astype(jnp.float32)[None, :],
+                rt.astype(jnp.float32)[None, :],
+                rows[_TID_ROW + 1 :],
+            ],
+            axis=0,
+        )
+
     CH = 1 << 16
     if r8 % CH != 0 or r8 // CH <= 24:
-        return packed[idx].T  # (NROWS, R8)
+        return _with_rides(packed[idx].T, ride_d, ride_t)
     n_chunks = jnp.minimum((live8 + CH - 1) // CH, r8 // CH)
 
     def _body(carry):
         out, i = carry
         off = i * CH
         g_c = jax.lax.dynamic_slice(idx, (off,), (CH,))
-        rows_c = packed[g_c].T
-        return jax.lax.dynamic_update_slice(out, rows_c, (0, off)), i + 1
+        rd_c = jax.lax.dynamic_slice(ride_d, (off,), (CH,))
+        rt_c = jax.lax.dynamic_slice(ride_t, (off,), (CH,))
+        rows_c = _with_rides(packed[g_c].T, rd_c, rt_c)
+        return (
+            jax.lax.dynamic_update_slice(out, rows_c, (0, off)),
+            i + 1,
+        )
 
     out, _ = jax.lax.while_loop(
         lambda c: c[1] < n_chunks,
@@ -752,52 +717,51 @@ def composite_seg_fwd(
         num_scalar_prefetch=5,
         grid=(n_prog,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((ROWS_PER_TILE * WS, PX), jnp.float32),
+            pltpu.VMEM((3 * WS, PX), jnp.float32),
+            pltpu.VMEM((WS, PX), jnp.float32),
             pltpu.VMEM((PX, 1), jnp.float32),
-            pltpu.VMEM((3, PX), jnp.float32),
-            pltpu.VMEM((1, PX), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    (out8,) = pl.pallas_call(
+    out_c, out_t = pl.pallas_call(
         functools.partial(_fwd_seg_kernel, gx=gx, td=td),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((ROWS_PER_TILE * td_pad, PX), jnp.float32),
+            jax.ShapeDtypeStruct((3 * td_pad, PX), jnp.float32),
+            jax.ShapeDtypeStruct((td_pad, PX), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ds, dc, dt, cb, live_chunks, inst_T8)
     # dense rows → tile-major, defaults for empty tiles
-    base = ROWS_PER_TILE * jnp.clip(pos, 0, td_pad - 1)
-    idx3 = (base[:, None] + jnp.arange(3)[None, :]).reshape(-1)
-    color = out8[idx3].reshape(num_tiles, 3, PX)
+    base = jnp.clip(pos, 0, td_pad - 1)
+    idx3 = (3 * base[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+    color = out_c[idx3].reshape(num_tiles, 3, PX)
     color = jnp.where(nonempty[:, None, None], color, 0.0)
-    finalT = jnp.exp(out8[base + 3])
+    finalT = jnp.exp(out_t[base])
     finalT = jnp.where(nonempty[:, None], finalT, 1.0)
     return color, finalT
 
 
-def _window8_from_tiles(color_full, dcolor, dense_tid, td_pad: int):
-    """(T, 3, PX) ×2 tile-major → (8·TDpad, PX) dense window rows: 8d+0..2
-    color_full, 8d+3..5 dL, 8d+6..7 zero."""
-    t = color_full.shape[0]
-    rows = jnp.concatenate(
-        [
-            color_full.reshape(t, 3, PX),
-            dcolor.reshape(t, 3, PX),
-            jnp.zeros((t, 2, PX), color_full.dtype),
-        ],
-        axis=1,
-    )  # (T, 8, PX)
-    sel = rows[jnp.clip(dense_tid, 0, t - 1)].reshape(-1, PX)
-    return jnp.pad(
-        sel, ((0, ROWS_PER_TILE * td_pad - sel.shape[0]), (0, 0))
-    )
+def _dense_rows_from_tiles(tiles3, dense_tid, td_pad: int):
+    """(T, 3, PX) tile-major → (3·TDpad, PX) dense rows, CHANNEL-MAJOR
+    blocks (rows [ch·TDpad + d]) so the kernel's per-channel window
+    slices are contiguous."""
+    t = tiles3.shape[0]
+    flat = jnp.swapaxes(tiles3, 0, 1).reshape(3 * t, PX)
+    idx = (
+        jnp.arange(3)[:, None] * t + jnp.clip(dense_tid, 0, t - 1)[None, :]
+    ).reshape(-1)
+    rows = flat[idx].reshape(3, -1, PX)
+    rows = jnp.pad(rows, ((0, 0), (0, td_pad - rows.shape[1]), (0, 0)))
+    return rows.reshape(3 * td_pad, PX)
 
 
 def composite_seg_bwd(
@@ -807,11 +771,12 @@ def composite_seg_bwd(
     """Segmented backward → (NROWS, R8) per-instance gradient rows."""
     r8 = inst_T8.shape[1]
     td = num_tiles + 1
-    td_pad = td + WS
+    td_pad = -(-(td + WS) // 8) * 8  # channel-block offsets stay 8-aligned
     ds, dc, dt, cb, live_chunks, pos, nonempty = _seg_aux(
         starts8, counts, live8, r8, num_tiles
     )
-    win8 = _window8_from_tiles(color_full, dcolor, dt, td_pad)
+    cf_d = _dense_rows_from_tiles(color_full, dt, td_pad)
+    dl_d = _dense_rows_from_tiles(dcolor, dt, td_pad)
     n_chunks = r8 // CHUNK
     n_prog = -(-n_chunks // CPB)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -821,28 +786,30 @@ def composite_seg_bwd(
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         scratch_shapes=[
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, NROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((ROWS_PER_TILE * WS, PX), jnp.float32),
+            pltpu.VMEM((3, WS, PX), jnp.float32),
+            pltpu.VMEM((3, WS, PX), jnp.float32),
             pltpu.VMEM((PX, 1), jnp.float32),
             pltpu.VMEM((PX, 1), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((1,)),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     zeros = jnp.zeros_like(inst_T8)
     (dinst,) = pl.pallas_call(
-        functools.partial(_bwd_seg_kernel, gx=gx, td=td),
+        functools.partial(_bwd_seg_kernel, gx=gx, td=td, td_pad=td_pad),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct(inst_T8.shape, jnp.float32)],
-        input_output_aliases={7: 0},  # zeros (after 5 prefetch + 2 inputs)
+        input_output_aliases={8: 0},  # zeros (after 5 prefetch + 3 inputs)
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ds, dc, dt, cb, live_chunks, inst_T8, win8, zeros)
+    )(ds, dc, dt, cb, live_chunks, inst_T8, cf_d, dl_d, zeros)
     return dinst
 
 
@@ -851,7 +818,7 @@ def composite_seg_bwd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(14, 15, 16))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
 def composite_instances_seg(
     means2d,
     conic,
@@ -862,6 +829,8 @@ def composite_instances_seg(
     starts8,
     counts,
     live8,
+    ride_d,
+    ride_t,
     e8,
     seg_lo,
     seg_hi,
@@ -878,7 +847,8 @@ def composite_instances_seg(
     gather (``e8``/``seg_lo``/``seg_hi``) and live-bound scatter paths.
     """
     inst_T8 = _build_inst_seg(
-        means2d, conic, rgb, opacity, sorted_g8, live8, perm
+        means2d, conic, rgb, opacity, sorted_g8, live8, perm, ride_d,
+        ride_t,
     )
     color, finalT = composite_seg_fwd(
         inst_T8, starts8, counts, live8, num_tiles, gx, interpret
@@ -890,10 +860,12 @@ def composite_instances_seg(
 
 def _ci_seg_fwd(
     means2d, conic, rgb, opacity, bg, sorted_g8, starts8, counts, live8,
-    e8, seg_lo, seg_hi, perm, inv_perm, num_tiles, gx, interpret,
+    ride_d, ride_t, e8, seg_lo, seg_hi, perm, inv_perm, num_tiles, gx,
+    interpret,
 ):
     inst_T8 = _build_inst_seg(
-        means2d, conic, rgb, opacity, sorted_g8, live8, perm
+        means2d, conic, rgb, opacity, sorted_g8, live8, perm, ride_d,
+        ride_t,
     )
     color, finalT = composite_seg_fwd(
         inst_T8, starts8, counts, live8, num_tiles, gx, interpret
@@ -906,6 +878,8 @@ def _ci_seg_fwd(
         starts8,
         counts,
         live8,
+        ride_d,
+        ride_t,
         e8,
         seg_lo,
         seg_hi,
@@ -925,6 +899,8 @@ def _ci_seg_bwd(num_tiles, gx, interpret, res, cts):
         starts8,
         counts,
         live8,
+        ride_d,
+        ride_t,
         e8,
         seg_lo,
         seg_hi,
@@ -984,6 +960,8 @@ def _ci_seg_bwd(num_tiles, gx, interpret, res, cts):
         _int_ct(starts8),
         _int_ct(counts),
         _int_ct(live8),
+        _int_ct(ride_d),
+        _int_ct(ride_t),
         None if e8 is None else _int_ct(e8),
         None if seg_lo is None else _int_ct(seg_lo),
         None if seg_hi is None else _int_ct(seg_hi),

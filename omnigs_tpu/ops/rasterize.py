@@ -519,6 +519,8 @@ def rasterize(
                 seg.starts8,
                 seg.counts,
                 seg.live8,
+                seg.ride_d,
+                seg.ride_t,
                 seg.e8,
                 inst.seg_lo,
                 inst.seg_hi,

@@ -94,15 +94,34 @@ def _render_image_sharded(
     if cfg.backend == "pallas":
         # production path: compact binning of this device's tile window +
         # the Pallas compositing kernels (interpret=True for the CPU-mesh
-        # dryrun/tests; compiled Mosaic on real chips)
-        from omnigs_tpu.ops.binning import bin_instances
+        # dryrun/tests; compiled Mosaic on real chips). Knob parity with
+        # rasterize.py: depth-presorted packed-key binning and the
+        # gather-reduce demotion rule apply per tile window too
+        # (VERDICT r4 next-round #4).
+        from omnigs_tpu.ops.binning import (
+            RANK_BITS,
+            bin_instances,
+            bin_instances_packed,
+        )
         from omnigs_tpu.ops.pallas_raster import composite_instances
+        from omnigs_tpu.ops.rasterize import GATHER_REDUCE_MAX_R
 
-        inst = bin_instances(
+        gather_reduce = (
+            cfg.gather_reduce
+            and cfg.max_instances <= GATHER_REDUCE_MAX_R
+        )
+        packable = (
+            cfg.depth_presort
+            and not cfg.ghost_align
+            and prep_full.depths.shape[0] <= (1 << RANK_BITS)
+            and gx * gy < (1 << (32 - RANK_BITS)) - 1
+        )
+        bin_fn = bin_instances_packed if packable else bin_instances
+        inst = bin_fn(
             prep_sg, gx, gy, cfg.max_instances,
             tile_lo=tile_lo, n_tiles=tiles_per_dev,
             tile_cull=cfg.tile_culling,
-            with_emission=cfg.gather_reduce,
+            with_emission=gather_reduce,
         )
         sorted_g, starts, counts = inst.sorted_g, inst.starts, inst.counts
         overflow = jnp.zeros((), jnp.int32)
@@ -133,8 +152,8 @@ def _render_image_sharded(
             inst.sorted_e,
             inst.seg_lo,
             inst.seg_hi,
-            None,
-            None,
+            inst.perm,
+            inst.inv_perm,
             tiles_per_dev,
             cfg.interpret,
             cfg.want_ncontrib,

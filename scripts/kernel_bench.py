@@ -219,6 +219,63 @@ def main():
         jax.block_until_ready(outf)
         print(f"bwd fused (kern+red)  {timeit(bwdf_j, inst_T, inst.sorted_g, inst.starts, inst.counts, color_full, dcolor):8.2f} ms")
 
+    if want("seg"):
+        # round-5 segmented-chunk pipeline: relay + linear-walk kernels
+        from omnigs_tpu.ops.binning import segment_relay
+        from omnigs_tpu.ops import pallas_seg as ps
+
+        r8 = cap
+
+        relay_j = jax.jit(
+            lambda i: segment_relay(
+                i.sorted_g, i.sorted_e, i.starts, i.counts, r8, P
+            )
+        )
+        # relay consumes the UNTRIMMED compact result (r8 trims internally)
+        bin_u_j = jax.jit(lambda p: bin_instances(p, gx, gy, R, tile_cull=True))
+        inst_u = bin_u_j(prep)
+        jax.block_until_ready(inst_u)
+        seg = relay_j(inst_u)
+        jax.block_until_ready(seg)
+        print(f"seg relay             {timeit(relay_j, inst_u):8.2f} ms")
+        print(
+            f"  live8={int(seg.live8)} (+{int(seg.live8) - n_comp} pad) "
+            f"chunks={int(seg.live8) // 128} trunc={int(seg.truncated)}"
+        )
+
+        build8_j = jax.jit(
+            lambda p, sg, lv, rd, rt: ps._build_inst_seg(
+                p.means2d, p.conic, p.rgb, p.opacity, sg, lv, None, rd, rt
+            )
+        )
+        inst_T8 = build8_j(
+            prep, seg.sorted_g8, seg.live8, seg.ride_d, seg.ride_t
+        )
+        jax.block_until_ready(inst_T8)
+        print(f"build slab8           {timeit(build8_j, prep, seg.sorted_g8, seg.live8, seg.ride_d, seg.ride_t):8.2f} ms")
+
+        sfwd_j = jax.jit(
+            lambda iT, s, c, lv: ps.composite_seg_fwd(
+                iT, s, c, lv, num_tiles, gx
+            )
+        )
+        scolor, sfinalT = sfwd_j(inst_T8, seg.starts8, seg.counts, seg.live8)
+        jax.block_until_ready(scolor)
+        print(f"seg fwd kernel        {timeit(sfwd_j, inst_T8, seg.starts8, seg.counts, seg.live8):8.2f} ms")
+
+        scolor_full = scolor + sfinalT[:, None, :] * bg[None, :, None]
+        sdcolor = jnp.ones_like(scolor_full) / (W * H)
+        sbwd_j = jax.jit(
+            lambda iT, s, c, lv, cf, dc: ps.composite_seg_bwd(
+                iT, s, c, lv, cf, dc, num_tiles, gx
+            )
+        )
+        sdinst = sbwd_j(
+            inst_T8, seg.starts8, seg.counts, seg.live8, scolor_full, sdcolor
+        )
+        jax.block_until_ready(sdinst)
+        print(f"seg bwd kernel        {timeit(sbwd_j, inst_T8, seg.starts8, seg.counts, seg.live8, scolor_full, sdcolor):8.2f} ms")
+
     if want("red"):
         r = inst.sorted_g.shape[0]
 
