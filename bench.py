@@ -41,26 +41,28 @@ def main():
     # Env overrides let the chip sprint A/B the round-4 structural knobs
     # without editing this file between runs; the committed defaults below
     # are the measured winners.
-    # Defaults are the measured round-4 winners (BENCH.md r4 e2e A/B:
-    # base 21.36 → +gather_reduce 24.68 → +depth_presort 25.90 → +cap
-    # retune 26.09 Mpix/s). max_instances 19·2^16 = post-superblock-cull
-    # emission budget (~1.10M) + 13% headroom — truncation-free, verified
-    # by kernel_bench's counter at 18·2^16 already.
+    # Defaults are the measured round-5 winners (BENCH.md r5 e2e A/B:
+    # tile-major best 24.5 → segmented kernels 27.2 → r8/emission cap
+    # retune 31.5 Mpix/s). max_instances 18·2^16 = post-superblock-cull
+    # emission budget (~1.10M) + 7% headroom; aligned_cap 8288·128 =
+    # measured slab8 high-water mark (1.048M) + 1.2% — both
+    # truncation-free (kernel_bench counters). gather_reduce is demoted
+    # under segmented (rasterize.py rule — measured loser there).
     cfg = RasterConfig(
         max_instances=int(
-            os.environ.get("OMNIGS_MAX_INSTANCES", str(19 << 16))
+            os.environ.get("OMNIGS_MAX_INSTANCES", str(18 << 16))
         ),
         backend="pallas", tight_culling=True,
         tile_culling=True,
         aligned_cap=int(
-            os.environ.get("OMNIGS_ALIGNED_CAP", str(8704 * 128))
+            os.environ.get("OMNIGS_ALIGNED_CAP", str(8288 * 128))
         ),
         # n_contrib diagnostic off in the training step (output-equivalent;
         # chip-gated by check_jit_parity's full-scale grad leg)
         want_ncontrib=False,
         gather_reduce=os.environ.get("OMNIGS_GATHER_REDUCE", "1") == "1",
         depth_presort=os.environ.get("OMNIGS_DEPTH_PRESORT", "1") == "1",
-        segmented=os.environ.get("OMNIGS_SEGMENTED", "0") == "1",
+        segmented=os.environ.get("OMNIGS_SEGMENTED", "1") == "1",
     )
     quick = os.environ.get("OMNIGS_BENCH_QUICK", "0") == "1"
     model = _example_model(capacity=P, n=P)
@@ -104,6 +106,7 @@ def main():
             "knobs": {
                 "gather_reduce": cfg.gather_reduce,
                 "depth_presort": cfg.depth_presort,
+                "segmented": cfg.segmented,
                 "max_instances": cfg.max_instances,
             },
         }))

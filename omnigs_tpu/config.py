@@ -118,6 +118,14 @@ class TpuParams:
     # tiles simply contribute zero gradient rows (as the scatter path does).
     gather_reduce: bool = True
     depth_presort: bool = True
+    # round-5 segmented-chunk kernels (ops/pallas_seg.py): walk the slab
+    # linearly, one pass per 128-lane chunk straddling tile boundaries —
+    # measured e2e on chip 24.5 → 27.2 Mpix/s over the tile-major kernels
+    # at the bench workload (BENCH.md r5). Default ON; requires
+    # want_ncontrib=False (auto-disabled otherwise). gather_reduce is
+    # demoted under segmented (measured loser there — the emission payload
+    # + relay tax exceeds the scatter's cost on the 8-granular slab).
+    segmented: bool = True
 
 
 @dataclasses.dataclass
@@ -215,6 +223,7 @@ _KEYMAP = {
     "Tpu.want_ncontrib": ("tpu", "want_ncontrib", bool),
     "Tpu.gather_reduce": ("tpu", "gather_reduce", bool),
     "Tpu.depth_presort": ("tpu", "depth_presort", bool),
+    "Tpu.segmented": ("tpu", "segmented", bool),
 }
 
 
@@ -262,6 +271,11 @@ def raster_config_from(cfg: Config):
         fused_reduce=False,
         gather_reduce=backend == "pallas" and cfg.tpu.gather_reduce,
         depth_presort=backend == "pallas" and cfg.tpu.depth_presort,
+        segmented=(
+            backend == "pallas"
+            and cfg.tpu.segmented
+            and not cfg.tpu.want_ncontrib
+        ),
     )
 
 

@@ -199,7 +199,9 @@ def _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td):
     cy = (ty * TILE).astype(jnp.float32) + _HALF
     live_row = (local >= 0.0) & (local <= float(KS2 - 1))
     # segment equality: broadcast the seg row over rows and compare with
-    # its own transpose (one native (CHUNK, CHUNK) transpose)
+    # its own transpose (one native (CHUNK, CHUNK) transpose — measured
+    # FASTER than transposing the (1, CHUNK) row, which Mosaic lowers as
+    # an expensive narrow relayout)
     m1 = jnp.broadcast_to(segrow, (CHUNK, CHUNK))
     eq16 = (m1 == m1.T).astype(jnp.bfloat16)
     # straddler: the chunk's last present segment = max local index

@@ -465,6 +465,10 @@ def rasterize(
         gather_reduce = (
             config.gather_reduce
             and config.max_instances <= GATHER_REDUCE_MAX_R
+            # measured loser under the segmented kernels: the emission
+            # payload + relay e8 gather exceed the live-bound scatter's
+            # cost on the 8-granular slab (BENCH.md r5: 25.3 vs 27.2)
+            and not config.segmented
         )
         packable = (
             config.depth_presort
