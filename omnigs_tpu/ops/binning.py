@@ -52,6 +52,10 @@ class BinnedInstances(NamedTuple):
     # sorted_g holds DEPTH RANKS; true gaussian id = perm[rank]
     perm: jnp.ndarray | None = None  # (P,) int32 depth order
     inv_perm: jnp.ndarray | None = None  # (P,) int32 rank of each id
+    # the sorted packed keys themselves (tile << RANK_BITS | rank) — the
+    # segmented relay gathers these to get rank AND source-tile validity
+    # from one payload
+    sorted_key: jnp.ndarray | None = None  # (R,) uint32
 
 
 class BinnedTiles(NamedTuple):
@@ -648,6 +652,7 @@ def bin_instances_packed(
         seg_hi=seg_hi,
         perm=perm,
         inv_perm=inv_perm,
+        sorted_key=skey,
     )
 
 
@@ -686,6 +691,7 @@ def segment_relay(
     counts: jnp.ndarray,
     r8: int,
     p_sentinel: int,
+    sorted_key: jnp.ndarray | None = None,
 ) -> SegLayout:
     """Re-lay the compact sorted slab to SEG_GRAN-aligned per-tile segments.
 
@@ -724,23 +730,84 @@ def segment_relay(
         )
 
     shift_at = _at_slots(starts8 - starts)  # src = j − shift
-    end_at = _at_slots(starts8 + counts8)  # valid = j < end
+    use_key = sorted_key is not None and sorted_e is None
+    if not use_key:
+        end_at = _at_slots(starts8 + counts8)  # valid = j < end
     # per-lane window metadata for the segmented kernels (dense tile index
     # in the nonempty enumeration + global tile id), PACKED into one
     # telescoped cumsum: both fields are < 2^13 non-negative prefix
     # values, so the packed deltas accumulate without cross-field carries.
     # Empty/dropped tiles alias their predecessor — all α-gated dead.
+    # With the packed-key payload (`use_key`), trimmed tiles carry the
+    # num_tiles sentinel so their lanes fail the source-tile validity test
+    # (their compact rows still exist and would otherwise resurrect).
     t = counts.shape[0]
     assert t < (1 << 13), t
     pos = jnp.cumsum((counts8 > 0).astype(jnp.int32)) - 1
+    tid_vals = jnp.arange(t, dtype=jnp.int32)
+    if use_key:
+        tid_vals = jnp.where(fits, tid_vals, t)
     packed_dt = _at_slots(
-        (jnp.clip(pos, 0, t) << 13)
-        | jnp.arange(t, dtype=jnp.int32)
+        (jnp.clip(pos, 0, t) << 13) | tid_vals
     )
     ride_d = packed_dt >> 13
     ride_t = packed_dt & ((1 << 13) - 1)
     j = jnp.arange(r8, dtype=jnp.int32)
-    src = jnp.clip(j - shift_at, 0, r - 1)
+    src_raw = j - shift_at
+    src = jnp.clip(src_raw, 0, r - 1)
+    if use_key:
+        # validity comes from the gathered key itself: a lane is live iff
+        # its source row's tile field matches its own tile ride — no
+        # second telescoped cumsum, single payload gather. (The src < r
+        # guard covers an exactly-full compact array whose clamped tail
+        # row would otherwise tile-match the last tile.) Keys stay uint32
+        # end-to-end: tile << 19 exceeds int31.
+        CH = 1 << 16
+
+        def _key_gather(src_c, srcraw_c, ridet_c):
+            kv = _gather_1d(sorted_key, src_c)
+            ok = ((kv >> RANK_BITS) == ridet_c.astype(jnp.uint32)) & (
+                srcraw_c < r
+            )
+            return jnp.where(
+                ok,
+                (kv & ((1 << RANK_BITS) - 1)).astype(jnp.int32),
+                jnp.int32(p_sentinel),
+            )
+
+        if r8 % CH != 0 or r8 // CH <= 1:
+            sorted_g8 = _key_gather(src, src_raw, ride_t)
+        else:
+            n_chunks = jnp.minimum((live8 + CH - 1) // CH, r8 // CH)
+
+            def _body(carry):
+                g_a, i = carry
+                off = i * CH
+                g_c = _key_gather(
+                    jax.lax.dynamic_slice(src, (off,), (CH,)),
+                    jax.lax.dynamic_slice(src_raw, (off,), (CH,)),
+                    jax.lax.dynamic_slice(ride_t, (off,), (CH,)),
+                )
+                return (
+                    jax.lax.dynamic_update_slice(g_a, g_c, (off,)),
+                    i + 1,
+                )
+
+            sorted_g8, _ = jax.lax.while_loop(
+                lambda c: c[1] < n_chunks,
+                _body,
+                (jnp.full((r8,), p_sentinel, jnp.int32), jnp.int32(0)),
+            )
+        return SegLayout(
+            sorted_g8=sorted_g8,
+            e8=None,
+            starts8=starts8,
+            counts=counts8,
+            truncated=truncated,
+            live8=live8,
+            ride_d=ride_d,
+            ride_t=ride_t,
+        )
     valid = j < end_at
 
     # live-bound chunked payload gather: one fused row-gather pass for

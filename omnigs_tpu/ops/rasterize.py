@@ -511,7 +511,8 @@ def rasterize(
             if r8 is None:
                 r8 = -(-config.max_instances // PCHUNK) * PCHUNK
             seg = segment_relay(
-                sorted_g, sorted_e, starts, counts, r8, p_gauss
+                sorted_g, sorted_e, starts, counts, r8, p_gauss,
+                sorted_key=inst.sorted_key,
             )
             color_t, T_t, n_t = composite_instances_seg(
                 means2d,
