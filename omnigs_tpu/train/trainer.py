@@ -344,11 +344,29 @@ class Trainer:
         max_inst = 1 << max(16, math.ceil(math.log2(max(est, 1))))
         max_inst = min(max_inst, 1 << 23)  # offsets ride an f32 column
         self.config.tpu.max_instances = max_inst
+        cap8 = None
+        if self.config.tpu.aligned_cap == 0 and (
+            self.raster_cfg.backend == "pallas"
+        ):
+            # live-slab cap (= the segmented layout's slab8 capacity):
+            # estimated survivors + the 8-granular padding bound, rounded
+            # UP to a 2^16 multiple so the relay/build live-bound loops
+            # engage. Everything downstream of binning scales with this
+            # instead of the pow2-rounded emission budget (BENCH.md r5:
+            # the cap retune alone was +4.5 Mpix/s at the bench workload);
+            # overshoot is impossible to silence — trimmed tiles are
+            # counted in `truncated` and warned like max_instances.
+            from omnigs_tpu.ops.preprocess import tile_grid as _tg
+
+            gx_, gy_ = _tg(self.camera)
+            cap8 = est + 8 * gx_ * gy_
+            cap8 = min(-(-cap8 // (1 << 16)) * (1 << 16), max_inst)
+            self.config.tpu.aligned_cap = cap8
         from omnigs_tpu.config import raster_config_from
 
         self.raster_cfg = raster_config_from(self.config)
         print(
-            f"[autosize] max_instances={max_inst} "
+            f"[autosize] max_instances={max_inst} aligned_cap={cap8} "
             f"(measured worst emission {worst}, growth cap "
             f"{min(growth, 8.0):.1f}x)",
             flush=True,

@@ -102,12 +102,29 @@ V5E_F32_TFLOPS = 49.0
 
 # Measured floors on this chip (scripts/kernel_bench.py / kernel_ablate.py,
 # BENCH.md "primitive costs"): sustained VPU element-op throughput for the
-# compositing inner loops, and the intrinsic per-pair op count — the VPU work
-# the fwd+bwd α/transmittance/gradient math fundamentally requires after
+# compositing inner loops, and the intrinsic per-pair op counts — the VPU
+# work the α/transmittance/gradient math fundamentally requires after
 # everything rank-structured (power quadratic, cumulative transmittance,
 # color accumulation, gradient moments) is offloaded to the MXU.
+#
+# ROUND-5 AUDIT (VERDICT r4 next-round #2): the r3/r4 constant charged 40
+# ops/pair for the WHOLE fwd+bwd step while the r4 tile-size analysis
+# measured the FORWARD alone at ≈40 elem-ops per slot — both were right
+# about their own number and the roofline was ~2× too strict. Counted from
+# the kernel op graphs (BENCH.md r5 floor table): the forward α chain
+# (projection deltas, quadratic, 2 exp + 1 log1p at their multi-pass VPU
+# cost, clamps/gates, weight products) is ~40 wide ops/pair, and the
+# backward pays the same recompute plus the gradient-moment combines for
+# another ~40. The segmented kernels' measured per-slot costs at 2.4%
+# padding — fwd 50 ps, bwd 66 ps ≈ 45/59 ops at the 0.9e12 rate — sit
+# 1.13×/1.5× above these floors (window masks, segment-equality
+# transpose, staging RMW, DMA issue).
 VPU_ELEM_OPS_PER_S = 0.9e12
-INTRINSIC_OPS_PER_PAIR_FWDBWD = 40.0
+INTRINSIC_OPS_PER_PAIR_FWD = 40.0
+INTRINSIC_OPS_PER_PAIR_BWD = 40.0
+INTRINSIC_OPS_PER_PAIR_FWDBWD = (
+    INTRINSIC_OPS_PER_PAIR_FWD + INTRINSIC_OPS_PER_PAIR_BWD
+)
 # Unavoidable HBM traffic per surviving instance across one fwd+bwd step:
 # slab rows read twice (fwd+bwd, 64 B), gradient rows written + re-read by
 # the reduction (2×64 B), binning expansion/sort traffic (~3×12 B keys) +
