@@ -117,6 +117,69 @@ def main():
     dt_proto = timeit(make_step(loss_ops.training_loss), params)
     proto_pixels_per_s = W * H / dt_proto
 
+    # Second pinned workload (VERDICT r4 next-round #6): a CONVERGED scene
+    # — the 32010-iteration protocol model (results/protocol_r4f metrics;
+    # checkpoint + scene at the pinned on-disk paths) rendered from its
+    # first train view. Validates that kernel conclusions drawn at the
+    # mid-training 142-instances/tile frame generalize to the
+    # high-density regime. Skipped (field absent) when the artifacts are
+    # not on disk — the headline metric is unaffected.
+    converged_px_s = None
+    conv_depth = None
+    ply_path = "/root/proto_r4f/32010/ply/point_cloud.ply"
+    scene_json = "/root/scene_fullres/sfm_data_train.json"
+    if os.path.exists(ply_path) and os.path.exists(scene_json):
+        from omnigs_tpu.io.openmvg import load_openmvg_scene
+        from omnigs_tpu.io.ply import load_gaussian_ply
+
+        cmodel = load_gaussian_ply(ply_path, capacity=1 << 19)
+        cscene = load_openmvg_scene(scene_json, None, image_root=None)
+        kf = cscene.keyframes[sorted(cscene.keyframes)[0]]
+        cvm = jnp.asarray(kf.viewmatrix)
+        ccp = jnp.asarray(kf.campos)
+        import dataclasses as _dc
+
+        ccfg = _dc.replace(
+            cfg, max_instances=1 << 22, aligned_cap=40 << 16
+        )
+
+        def conv_loss(params):
+            m = cmodel.with_params(params)
+            res = render_model(
+                m, camera, cvm, ccp, bg, sh_degree=3, config=ccfg
+            )
+            return loss_ops.l1_loss(res.image, gt)
+
+        conv_step = jax.jit(jax.grad(conv_loss))
+        cparams = cmodel.params()
+        dt_conv = timeit(conv_step, cparams)
+        converged_px_s = W * H / dt_conv
+
+        from omnigs_tpu.ops.binning import bin_instances as _bi
+        from omnigs_tpu.ops.preprocess import preprocess as _pp
+        from omnigs_tpu.ops.preprocess import tile_grid as _tg
+
+        cgx, cgy = _tg(camera)
+
+        @jax.jit
+        def _conv_count():
+            prep = _pp(
+                cmodel.xyz,
+                jnp.exp(cmodel.scaling),
+                cmodel.rotation
+                / jnp.linalg.norm(cmodel.rotation, axis=-1, keepdims=True),
+                jax.nn.sigmoid(cmodel.opacity[:, 0]),
+                jnp.concatenate(
+                    [cmodel.features_dc, cmodel.features_rest], axis=1
+                ),
+                camera, cvm, ccp, 3, tight_culling=True,
+                active_mask=cmodel.active,
+            )
+            inst = _bi(prep, cgx, cgy, 1 << 22, tile_cull=True)
+            return jnp.sum(inst.counts)
+
+        conv_depth = int(_conv_count()) / (cgx * cgy)
+
     # composited depth for the roofline bound — ONE extra compiled program
     # (compile time matters: the tunneled chip's remote-compile service can
     # be minutes/program, see BENCH.md round-2 infrastructure findings)
@@ -145,21 +208,19 @@ def main():
     roof = roofline_report(W * H, dt, mean_depth, num_instances=live)
 
     baseline = 8.3e7  # 3090-class fwd+bwd px/s; derivation in BASELINE.md
-    print(
-        json.dumps(
-            {
-                "metric": "pixels_per_s_fwdbwd_1920x960",
-                "value": round(pixels_per_s, 1),
-                "unit": "pixels/s",
-                "vs_baseline": round(pixels_per_s / baseline, 4),
-                "protocol_loss_px_s": round(proto_pixels_per_s, 1),
-                "mean_instances_per_tile": round(mean_depth, 1),
-                "fraction_of_roofline": round(
-                    roof["fraction_of_roofline"], 4
-                ),
-            }
-        )
-    )
+    out = {
+        "metric": "pixels_per_s_fwdbwd_1920x960",
+        "value": round(pixels_per_s, 1),
+        "unit": "pixels/s",
+        "vs_baseline": round(pixels_per_s / baseline, 4),
+        "protocol_loss_px_s": round(proto_pixels_per_s, 1),
+        "mean_instances_per_tile": round(mean_depth, 1),
+        "fraction_of_roofline": round(roof["fraction_of_roofline"], 4),
+    }
+    if converged_px_s is not None:
+        out["converged_scene_px_s"] = round(converged_px_s, 1)
+        out["converged_instances_per_tile"] = round(conv_depth, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -36,6 +36,11 @@ def main():
         " (examples/train_360roam.cpp:318-324)",
     )
     ap.add_argument("--viewer-width", type=int, default=960)
+    ap.add_argument(
+        "--seed", type=int, default=0,
+        help="training RNG seed (keyframe sampling, densify splits) — the"
+        " quality gate runs two seeds and gates on their median",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -68,7 +73,7 @@ def main():
         flush=True,
     )
 
-    tr = Trainer(scene, cfg, output_dir=out)
+    tr = Trainer(scene, cfg, output_dir=out, seed=args.seed)
     tr.init_from_sfm()
     save_cameras_json(scene, out)
     save_model_params(
@@ -123,7 +128,7 @@ def main():
     # shutdown record (`trainSfmPcd` tail, gaussian_mapper.cpp:272-288)
     from omnigs_tpu.utils.profiling import write_peak_memory
 
-    write_peak_memory(out)  # GpuPeakUsageMB.txt analog
+    write_peak_memory(out, tr.peak_memory)  # GpuPeakUsageMB.txt analog
     write_keyframe_used_times(tr.sampler, out / "used_times", "_shutdown")
     render_and_record_all_keyframes(
         tr.model,

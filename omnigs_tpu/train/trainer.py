@@ -271,6 +271,9 @@ class Trainer:
         self.total_overflow = 0
         self.total_truncated = 0
         self._pending_losses = []
+        from omnigs_tpu.utils.profiling import PeakMemoryTracker
+
+        self.peak_memory = PeakMemoryTracker()
         self._it_dev = None
         self.key = jax.random.PRNGKey(self.seed)
         self.model: Optional[GaussianModel] = None
@@ -518,6 +521,11 @@ class Trainer:
             self.model, self.opt_state = reset_opacity_jit(
                 self.model, self.opt_state
             )
+
+        if do_densify or do_reset:
+            # the allocation spikes live here (model/optimizer arrays are
+            # rebuilt) — sample for the across-run peak report
+            self.peak_memory.sample()
 
         # Defer the loss fetch: float(loss) here would force a device→host
         # sync EVERY iteration (the reference's per-iter

@@ -1,7 +1,9 @@
-"""The quality gate must FAIL a simulated PSNR collapse (VERDICT r3 weak
-#2: the round-3 bar of 15 would have passed a halved-PSNR regression).
-Exercises scripts/psnr_gate.py — the exact check quality_check.sh runs —
-against a healthy and a halved metric file."""
+"""The quality gate must FAIL regressions (VERDICT r3 weak #2 + r4
+next-round #7): the round-3 floating bar would have passed a halved-PSNR
+collapse, and the round-4 single-run 1 dB margin absorbed a real 0.7 dB
+regression inside its noise allowance. Exercises scripts/psnr_gate.py —
+the exact check quality_check.sh runs — with the round-5 semantics:
+median of two independent-seed runs against measured − 0.5 dB."""
 
 import pathlib
 import subprocess
@@ -10,33 +12,69 @@ import sys
 REPO = pathlib.Path(__file__).resolve().parent.parent
 GATE = REPO / "scripts" / "psnr_gate.py"
 
-# the pinned-scene measured value feeds BAR = measured − 1 dB; use a
+# the pinned-scene measured value feeds BAR = measured − 0.5 dB; use a
 # representative measurement for the simulation
 MEASURED = 29.4
-BAR = MEASURED - 1.0
+BAR = MEASURED - 0.5
+NOISE = 0.15  # per-run deviation, ~half the measured 0.3 dB run spread
 
 
-def _run(tmp_path, vals):
-    (tmp_path / "psnr_test.txt").write_text(
+def _write(tmp_path, name, vals):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "psnr_test.txt").write_text(
         "".join(f"view{i} {v}\n" for i, v in enumerate(vals))
     )
+    return d
+
+
+def _run(tmp_path, runs):
+    dirs = [
+        str(_write(tmp_path, f"run{i}", vals))
+        for i, vals in enumerate(runs)
+    ]
     return subprocess.run(
-        [sys.executable, str(GATE), str(tmp_path), str(BAR)],
+        [sys.executable, str(GATE), str(BAR), *dirs],
         capture_output=True, text=True,
     )
 
 
 def test_healthy_passes(tmp_path):
-    r = _run(tmp_path, [MEASURED - 0.3, MEASURED + 0.2, MEASURED])
+    r = _run(
+        tmp_path,
+        [
+            [MEASURED - NOISE, MEASURED + 0.2, MEASURED],
+            [MEASURED + NOISE, MEASURED - 0.1, MEASURED],
+        ],
+    )
     assert r.returncode == 0, r.stdout + r.stderr
 
 
 def test_halved_psnr_fails(tmp_path):
-    r = _run(tmp_path, [MEASURED / 2] * 3)
+    r = _run(
+        tmp_path, [[MEASURED / 2] * 3, [MEASURED / 2] * 3]
+    )
     assert r.returncode != 0, r.stdout + r.stderr
     assert "FAIL" in r.stdout
 
 
-def test_one_db_regression_fails(tmp_path):
-    r = _run(tmp_path, [MEASURED - 1.2] * 3)
+def test_point7_db_regression_fails(tmp_path):
+    """A 0.7 dB real regression fails even when run noise favors one run —
+    the r4 single-run 1 dB gate passed exactly this case."""
+    reg = MEASURED - 0.7
+    r = _run(
+        tmp_path,
+        [[reg + NOISE] * 3, [reg - NOISE] * 3],
+    )
     assert r.returncode != 0, r.stdout + r.stderr
+
+
+def test_single_noisy_run_does_not_fail_healthy_code(tmp_path):
+    """The median protects against the converse too: one unlucky run on
+    healthy code (−2σ) does not trip the gate when its sibling is
+    typical."""
+    r = _run(
+        tmp_path,
+        [[MEASURED - 2 * 0.3] * 3, [MEASURED] * 3],
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
