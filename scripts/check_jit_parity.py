@@ -188,14 +188,16 @@ def main():
     # caps sized to the re-measured truncation-free workload (1.02M
     # surviving instances; ghost layout additionally pads each tile to a
     # chunk multiple)
-    # bench.py's exact round-4 production config (retuned cap, packed-key
-    # presort, gather reduction) vs the ghost-aligned scatter backward —
-    # same composited sequence through two fully independent layouts AND
-    # two independent reduction algorithms
+    # bench.py's exact round-5 production config (segmented-chunk kernels,
+    # retuned caps, packed-key presort; gather_reduce auto-demoted under
+    # segmented) vs the ghost-aligned tile-major scatter backward — same
+    # composited sequence through two fully independent slab layouts, two
+    # kernel families AND two reduction algorithms
     cfg_c = RasterConfig(
-        max_instances=19 << 16, backend="pallas", tight_culling=True,
-        tile_culling=True, aligned_cap=8704 * 128,
+        max_instances=18 << 16, backend="pallas", tight_culling=True,
+        tile_culling=True, aligned_cap=8288 * 128,
         want_ncontrib=False, gather_reduce=True, depth_presort=True,
+        segmented=True,
     )
     cfg_g = dataclasses.replace(
         cfg_c, ghost_align=True, aligned_cap=None, gather_reduce=False,
@@ -362,6 +364,21 @@ def main():
     check_knob(
         "fused_reduce", grad_small(
             dataclasses.replace(cfg_p, fused_reduce=True)
+        )
+    )
+    check_knob(
+        "segmented", grad_small(
+            dataclasses.replace(
+                cfg_p, segmented=True, want_ncontrib=False
+            )
+        )
+    )
+    check_knob(
+        "seg+presort", grad_small(
+            dataclasses.replace(
+                cfg_p, segmented=True, want_ncontrib=False,
+                depth_presort=True,
+            )
         )
     )
     # α-formulation A/B: module-level knob, read at trace time
