@@ -3,39 +3,48 @@
 The tile-major kernels (ops/pallas_raster.py) walk each tile's instance
 segment in its own chunk loop; at ~142 instances/tile that means ~2.1
 chunk-passes per tile and ~47% masked lanes (BENCH.md r4 tile-size
-analysis) — padding the tile-size analysis declared workload-bound. These
-kernels instead walk the slab LINEARLY: every 128-lane chunk is processed
-exactly once, carrying the tail of one tile and the heads of the next
-tiles in the same pass (VERDICT r4 next-round #1). The enablers:
+analysis) — padding the r4 tile-size analysis declared workload-bound.
+These kernels instead walk the slab LINEARLY: every 128-lane chunk is
+processed exactly once, carrying the tail of one tile and the heads of
+the next tiles in the same pass (VERDICT r4 next-round #1; masked lanes
+drop to ~2.4%). The production design, in the order the data flows:
 
-* **8-granular layout** (`binning.segment_relay`): every tile's segment is
-  padded to a multiple of 8 lanes, so a chunk spans ≤ 16 distinct tiles —
-  a *static* bound (KS) for the per-chunk tile window.
-* **Per-lane tile windows**: each chunk's segments are described by
-  scalar-prefetched dense-tile arrays (start, count, tile id); one-hot
-  segment masks and per-lane tile centers (cx, cy) are built from ~KS2
-  scalar compares — the α math already broadcasts (1, CHUNK) centers, so
-  it is unchanged.
+* **8-granular layout** (`binning.segment_relay`): every tile's segment
+  is padded to a multiple of 8 lanes, so a chunk spans ≤ 16 distinct
+  tiles — a *static* bound (KS) for the per-chunk tile window. The relay
+  is two telescoped scatter+cumsum passes plus ONE live-bound payload
+  gather (on the packed-key path the gathered sort key yields both the
+  depth rank and, via its tile field, lane validity).
+* **Ride-row windows**: the per-lane dense-tile index and tile id ride
+  the slab as two extra f32 rows, so one-hot segment masks, per-lane
+  tile centers (cx, cy) and liveness come from (1, CHUNK)-shaped
+  compares; segment equality is one native (CHUNK, CHUNK) broadcast-
+  transpose-compare. (A scalar-loop window build cost ~24 (CHUNK, 1)-
+  shaped ops per chunk — 16 VPU sub-ops each — and dominated v1.)
 * **Segmented triangular cumsum**: in-chunk transmittance uses
   tri ∧ (seg_i == seg_j) — still 0/1, so the exact-in-bf16 3-pass split
-  survives; the segment-equality matrix is ONE bf16 matmul of the one-hot
-  masks (built in both orientations from iota, no transpose).
-* **8-row-per-tile dense I/O**: per-tile outputs (color ×3, gated log-T)
-  and the backward's per-tile inputs (color_full ×3, dL ×3) live in
-  (8·T_dense, PX) arrays — row 8d+k — so every dynamic window offset is
-  8·(dense index), satisfying Mosaic's sublane-alignment rule for dynamic
-  slices, and the per-tile reductions are matmuls whose masked operands
-  EMIT directly into that layout (zero rows cost the MXU nothing it
-  wasn't already padding).
-* **Windowed accumulation**: partials accumulate into a per-program VMEM
-  staging window over the DENSE (nonempty) tile enumeration; tiles
-  straddling chunk boundaries ride column-form carries, tiles straddling
-  PROGRAM boundaries ride small scratch carries re-injected at the next
-  program's first chunk. Programs self-wait their output DMA — no
-  cross-program DMA state (the round-2 deadlock lesson).
-* **Backward without `heads`**: gradient chunks are written at their own
-  slab positions exactly once (no shared boundary chunks by
-  construction), deleting the tile-major backward's heads machinery.
+  survives unchanged.
+* **Boundary re-read accumulation**: per-tile color (3 rows) and gated
+  LOG-transmittance (1 row) partials accumulate into per-program VMEM
+  staging windows over the DENSE (nonempty) tile enumeration, window
+  offsets quantized to 8 rows (Mosaic's dynamic-sublane alignment rule).
+  Each program re-reads its 8-row boundary block from the output HBM
+  arrays before accumulating — the straddling tile's staged partial IS
+  the program-boundary carry, so no carry scratch, no injection, and the
+  output DMAs are self-waited (no cross-program DMA state — the round-2
+  deadlock lesson). final_T is exponentiated in XLA after the kernel.
+* **Column-form chunk carries**: only the ungated transmittance N (and,
+  in the backward, the dL·prefix) cross chunk boundaries, as (PX, 1)
+  scratch updated from straddler-masked row sums.
+* **Channel-major backward windows**: per-tile color_full/dL rows are
+  fetched in channel-major blocks; per-lane dL broadcasts come from
+  K=KS2 one-hot contractions (MXU pass time scales with K — a K=3·KS2
+  masked-rgb contraction measured ~2× dearer), which also turns the
+  per-instance color gradients into plain sublane reductions. The
+  V-moment matmul runs at 3 bf16 passes (the pixel basis is exact in
+  bf16). Gradient chunks are written at their own slab positions exactly
+  once — the tile-major backward's heads/scatter-merge machinery has no
+  analog here.
 
 Semantics are identical to the tile-major kernels per pixel; summation
 *grouping* differs (global chunk boundaries vs per-tile chunk walks), so

@@ -8,8 +8,8 @@
 # already ~0.3 dB — a real ~0.6 dB regression (the size the r4 reduction
 # bug would have caused on rotation-heavy scenes) passed undetected.
 # Gating the median of two independent-seed runs halves the noise;
-# measured on current code (chip, r5): seed0 16.95, seed1/seed2 see
-# BENCH.md — mean GATE_PSNR below, spread ~0.3 dB. Bar = GATE_PSNR − 0.5.
+# measured on current code (chip, r5): seed0 16.95, seed1 17.18,
+# seed2 17.07 → mean 17.07, spread 0.23 dB. Bar = GATE_PSNR − 0.5.
 #
 #   Pinned scene:    make_synthetic_scene --seed 1234 (512×256, 12 train /
 #                    4 test views, deg-3 view-dependent GT)

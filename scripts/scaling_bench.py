@@ -62,13 +62,17 @@ def main():
         # real hardware; timings here are not meaningful anyway)
         cfg = RasterConfig(max_instances=1 << 20, tile_cap=1024, chunk=64)
     else:
-        # the production Pallas config (bench.py's knobs) so the 1x1-mesh
-        # run measures the shard_map/collective TAX against the unsharded
-        # protocol-loss step, not a backend change (VERDICT r3 #8)
+        # equal-knob configs so the 1x1-mesh run measures the pure
+        # shard_map/collective TAX, not a knob change (VERDICT r3 #8 /
+        # r4 #4): r5 caps + depth-presorted packed binning on BOTH sides.
+        # segmented stays off on both — the sharded compositor runs the
+        # tile-major kernels (per-device tile windows); porting the
+        # segmented walk to windowed binning is future work, so the
+        # single-chip production step is faster than either side here.
         cfg = RasterConfig(
-            max_instances=19 << 16, backend="pallas", tight_culling=True,
-            tile_culling=True, aligned_cap=8704 * 128,
-            want_ncontrib=False, gather_reduce=True,
+            max_instances=18 << 16, backend="pallas", tight_culling=True,
+            tile_culling=True, aligned_cap=8288 * 128,
+            want_ncontrib=False, gather_reduce=True, depth_presort=True,
         )
 
     if not args.force_host_devices:
