@@ -201,7 +201,7 @@ def main():
     )
     cfg_g = dataclasses.replace(
         cfg_c, ghost_align=True, aligned_cap=None, gather_reduce=False,
-        depth_presort=False,
+        depth_presort=False, segmented=False,
     )
 
     def grad_fn(cfg):
