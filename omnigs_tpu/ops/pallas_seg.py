@@ -189,14 +189,16 @@ _SEG_ROW = 9  # per-lane dense tile index (f32, exact < 2^24)
 _TID_ROW = 10  # per-lane global tile id (f32)
 
 
-def _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td):
+def _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td, tile_lo):
     """Per-chunk tile-window state from the per-lane RIDE rows: one-hot
     segment masks and segment equality come from (1, CHUNK)-shaped
     compares plus one native 128×128 transpose — the earlier
     scalar-loop/maskT construction cost ~24 (CHUNK, 1)-shaped ops per
     chunk (16 VPU sub-ops each), which dominated the whole kernel."""
     segrow = data[_SEG_ROW : _SEG_ROW + 1, :]  # (1, CHUNK) f32 dense idx
-    tid = data[_TID_ROW : _TID_ROW + 1, :].astype(jnp.int32)
+    # the tile-id ride is WINDOW-LOCAL (sharded tile windows are contiguous
+    # runs of the global row-major grid); tile_lo restores global coords
+    tid = data[_TID_ROW : _TID_ROW + 1, :].astype(jnp.int32) + tile_lo
     local = segrow - t_base8.astype(jnp.float32)
     onehot = jnp.concatenate(
         [(local == float(r)).astype(jnp.float32) for r in range(KS2)],
@@ -238,7 +240,7 @@ def _fwd_seg_kernel(
     dc_ref,  # (TD,) dense segment count
     dt_ref,  # (TD,) dense global tile id
     cb_ref,  # (n_chunks,) chunk → first dense tile in window
-    live_ref,  # (1,) number of live chunks
+    live_ref,  # (2,) [number of live chunks, global tile_lo of the window]
     # inputs
     inst_ref,  # (NROWS, R8) HBM
     # outputs (accumulated in place across programs: each program
@@ -328,7 +330,9 @@ def _fwd_seg_kernel(
                 r_last,
                 straddles,
                 mask_sl,
-            ) = _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td)
+            ) = _window_rides(
+                data, ds_ref, dc_ref, t_base8, c, gx, td, live_ref[1]
+            )
             a, live, *_ = _seg_alpha(data, Ub, cx, cy, live_row)
             one_m = 1.0 - a
             l = jnp.log1p(-a)
@@ -499,7 +503,9 @@ def _bwd_seg_kernel(
                 r_last,
                 straddles,
                 mask_sl,
-            ) = _window_rides(data, ds_ref, dc_ref, t_base8, c, gx, td)
+            ) = _window_rides(
+                data, ds_ref, dc_ref, t_base8, c, gx, td, live_ref[1]
+            )
             w_off = pl.multiple_of((off // 8) * 8, 8)
             cf3 = [wcf[ch, pl.ds(w_off, KS2), :] for ch in range(3)]
             dl3 = [wdl[ch, pl.ds(w_off, KS2), :] for ch in range(3)]
@@ -614,7 +620,7 @@ def _bwd_seg_kernel(
             out_dma(n_hi - 1).wait()
 
 
-def _seg_aux(starts8, counts, live8, r8: int, num_tiles: int):
+def _seg_aux(starts8, counts, live8, r8: int, num_tiles: int, tile_lo=0):
     """Dense-tile enumeration + per-chunk window bases (host-side XLA)."""
     td = num_tiles + 1
     nonempty = counts > 0
@@ -641,8 +647,11 @@ def _seg_aux(starts8, counts, live8, r8: int, num_tiles: int):
         - 1
     )
     cb = jnp.clip(cb, 0, td - 1)
-    live_chunks = jnp.reshape(
-        (live8 + CHUNK - 1) // CHUNK, (1,)
+    live_chunks = jnp.stack(
+        [
+            (live8 + CHUNK - 1) // CHUNK,
+            jnp.asarray(tile_lo),
+        ]
     ).astype(jnp.int32)
     return dense_start, dense_count, dense_tid, cb, live_chunks, pos, nonempty
 
@@ -713,14 +722,14 @@ def _build_inst_seg(
 
 def composite_seg_fwd(
     inst_T8, starts8, counts, live8, num_tiles: int, gx: int,
-    interpret: bool = False,
+    interpret: bool = False, tile_lo=0,
 ):
     """Run the segmented forward → (color (T,3,PX), finalT (T,PX))."""
     r8 = inst_T8.shape[1]
     td = num_tiles + 1
     td_pad = td + WS
     ds, dc, dt, cb, live_chunks, pos, nonempty = _seg_aux(
-        starts8, counts, live8, r8, num_tiles
+        starts8, counts, live8, r8, num_tiles, tile_lo
     )
     n_chunks = r8 // CHUNK
     n_prog = -(-n_chunks // CPB)
@@ -777,14 +786,14 @@ def _dense_rows_from_tiles(tiles3, dense_tid, td_pad: int):
 
 def composite_seg_bwd(
     inst_T8, starts8, counts, live8, color_full, dcolor,
-    num_tiles: int, gx: int, interpret: bool = False,
+    num_tiles: int, gx: int, interpret: bool = False, tile_lo=0,
 ):
     """Segmented backward → (NROWS, R8) per-instance gradient rows."""
     r8 = inst_T8.shape[1]
     td = num_tiles + 1
     td_pad = -(-(td + WS) // 8) * 8  # channel-block offsets stay 8-aligned
     ds, dc, dt, cb, live_chunks, pos, nonempty = _seg_aux(
-        starts8, counts, live8, r8, num_tiles
+        starts8, counts, live8, r8, num_tiles, tile_lo
     )
     cf_d = _dense_rows_from_tiles(color_full, dt, td_pad)
     dl_d = _dense_rows_from_tiles(dcolor, dt, td_pad)
@@ -829,7 +838,7 @@ def composite_seg_bwd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(16, 17, 18))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(17, 18, 19))
 def composite_instances_seg(
     means2d,
     conic,
@@ -847,6 +856,7 @@ def composite_instances_seg(
     seg_hi,
     perm,
     inv_perm,
+    tile_lo,
     num_tiles,
     gx,
     interpret,
@@ -862,7 +872,7 @@ def composite_instances_seg(
         ride_t,
     )
     color, finalT = composite_seg_fwd(
-        inst_T8, starts8, counts, live8, num_tiles, gx, interpret
+        inst_T8, starts8, counts, live8, num_tiles, gx, interpret, tile_lo
     )
     color = color + finalT[:, None, :] * bg[None, :, None]
     ncontrib = jnp.zeros((num_tiles, PX), jnp.int32)
@@ -871,15 +881,15 @@ def composite_instances_seg(
 
 def _ci_seg_fwd(
     means2d, conic, rgb, opacity, bg, sorted_g8, starts8, counts, live8,
-    ride_d, ride_t, e8, seg_lo, seg_hi, perm, inv_perm, num_tiles, gx,
-    interpret,
+    ride_d, ride_t, e8, seg_lo, seg_hi, perm, inv_perm, tile_lo,
+    num_tiles, gx, interpret,
 ):
     inst_T8 = _build_inst_seg(
         means2d, conic, rgb, opacity, sorted_g8, live8, perm, ride_d,
         ride_t,
     )
     color, finalT = composite_seg_fwd(
-        inst_T8, starts8, counts, live8, num_tiles, gx, interpret
+        inst_T8, starts8, counts, live8, num_tiles, gx, interpret, tile_lo
     )
     color_full = color + finalT[:, None, :] * bg[None, :, None]
     ncontrib = jnp.zeros((num_tiles, PX), jnp.int32)
@@ -889,6 +899,7 @@ def _ci_seg_fwd(
         starts8,
         counts,
         live8,
+        tile_lo,
         ride_d,
         ride_t,
         e8,
@@ -910,6 +921,7 @@ def _ci_seg_bwd(num_tiles, gx, interpret, res, cts):
         starts8,
         counts,
         live8,
+        tile_lo,
         ride_d,
         ride_t,
         e8,
@@ -924,7 +936,7 @@ def _ci_seg_bwd(num_tiles, gx, interpret, res, cts):
     dcolor = cts[0]
     dinst = composite_seg_bwd(
         inst_T8, starts8, counts, live8, color_full, dcolor,
-        num_tiles, gx, interpret,
+        num_tiles, gx, interpret, tile_lo,
     )
     r8 = sorted_g8.shape[0]
     rows = dinst[:9, :].T  # (R8, 9)
@@ -978,6 +990,7 @@ def _ci_seg_bwd(num_tiles, gx, interpret, res, cts):
         None if seg_hi is None else _int_ct(seg_hi),
         None if perm is None else _int_ct(perm),
         None if inv_perm is None else _int_ct(inv_perm),
+        _int_ct(tile_lo),
     )
 
 

@@ -531,6 +531,7 @@ def rasterize(
                 inst.seg_hi,
                 inst.perm,
                 inst.inv_perm,
+                jnp.int32(0),
                 gx * gy,
                 gx,
                 config.interpret,

@@ -116,6 +116,13 @@ def _render_image_sharded(
             and prep_full.depths.shape[0] <= (1 << RANK_BITS)
             and gx * gy < (1 << (32 - RANK_BITS)) - 1
         )
+        if cfg.segmented:
+            # segmented-chunk kernels per device tile window — the
+            # multi-chip path inherits the round-5 single-chip win; the
+            # relay and kernels are window-agnostic except for tile_lo
+            # restoring global tile coordinates (gather_reduce demoted
+            # like rasterize.py — measured loser under segmented)
+            gather_reduce = False
         bin_fn = bin_instances_packed if packable else bin_instances
         inst = bin_fn(
             prep_sg, gx, gy, cfg.max_instances,
@@ -123,6 +130,52 @@ def _render_image_sharded(
             tile_cull=cfg.tile_culling,
             with_emission=gather_reduce,
         )
+        if cfg.segmented:
+            from omnigs_tpu.ops.binning import segment_relay
+            from omnigs_tpu.ops.pallas_raster import CHUNK as PCHUNK
+            from omnigs_tpu.ops.pallas_seg import composite_instances_seg
+
+            p_gauss = prep_full.depths.shape[0]
+            r8 = cfg.aligned_cap
+            if r8 is None:
+                r8 = -(-cfg.max_instances // PCHUNK) * PCHUNK
+            seg = segment_relay(
+                inst.sorted_g, inst.sorted_e, inst.starts, inst.counts,
+                r8, p_gauss, sorted_key=inst.sorted_key,
+            )
+            color_t, T_t, n_t = composite_instances_seg(
+                prep_full.means2d,
+                prep_full.conic,
+                prep_full.rgb,
+                prep_full.opacity,
+                bg,
+                seg.sorted_g8,
+                seg.starts8,
+                seg.counts,
+                seg.live8,
+                seg.ride_d,
+                seg.ride_t,
+                seg.e8,
+                inst.seg_lo,
+                inst.seg_hi,
+                inst.perm,
+                inst.inv_perm,
+                jnp.asarray(tile_lo, jnp.int32),
+                tiles_per_dev,
+                gx,
+                cfg.interpret,
+            )
+            all_tiles = jax.lax.all_gather(color_t, GAUSS_AXIS, tiled=True)
+            num_tiles_g = gx * gy
+            image = _tiles_to_image(
+                all_tiles[:num_tiles_g], gx, gy, camera.width, camera.height
+            )
+            return (
+                image,
+                prep_full.radii,
+                jnp.zeros((), jnp.int32),
+                inst.truncated + seg.truncated,
+            )
         sorted_g, starts, counts = inst.sorted_g, inst.starts, inst.counts
         overflow = jnp.zeros((), jnp.int32)
         truncated = inst.truncated

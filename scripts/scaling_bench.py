@@ -64,15 +64,14 @@ def main():
     else:
         # equal-knob configs so the 1x1-mesh run measures the pure
         # shard_map/collective TAX, not a knob change (VERDICT r3 #8 /
-        # r4 #4): r5 caps + depth-presorted packed binning on BOTH sides.
-        # segmented stays off on both — the sharded compositor runs the
-        # tile-major kernels (per-device tile windows); porting the
-        # segmented walk to windowed binning is future work, so the
-        # single-chip production step is faster than either side here.
+        # r4 #4): the FULL round-5 production config — segmented-chunk
+        # kernels + depth-presorted packed binning + retuned caps — on
+        # both the sharded and unsharded sides.
         cfg = RasterConfig(
             max_instances=18 << 16, backend="pallas", tight_culling=True,
             tile_culling=True, aligned_cap=8288 * 128,
             want_ncontrib=False, gather_reduce=True, depth_presort=True,
+            segmented=True,
         )
 
     if not args.force_host_devices:
