@@ -19,6 +19,15 @@ import json
 import os
 import time
 
+# persistent repo-local compile cache: the round-end driver invocation and
+# the in-round sprints share compiles (the tunneled chip's remote-compile
+# service can take minutes per program and occasionally wedges — BENCH.md
+# round-2 findings; a warm cache sidesteps both)
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jaxcache"),
+)
+
 
 def main():
     import jax
@@ -126,9 +135,26 @@ def main():
     # not on disk — the headline metric is unaffected.
     converged_px_s = None
     conv_depth = None
-    ply_path = "/root/proto_r4f/32010/ply/point_cloud.ply"
-    scene_json = "/root/scene_fullres/sfm_data_train.json"
-    if os.path.exists(ply_path) and os.path.exists(scene_json):
+    _here = os.path.dirname(os.path.abspath(__file__))
+    # preferred: repo-local regeneration (results_local/, gitignored —
+    # protocol_run.sh defaults); fallback: the round-4/5 out-of-repo
+    # locations (wiped between driver sessions)
+    _cands = [
+        (
+            os.path.join(_here, "results_local/proto_out/32010/ply/point_cloud.ply"),
+            os.path.join(_here, "results_local/scene_fullres/sfm_data_train.json"),
+        ),
+        (
+            "/root/proto_r4f/32010/ply/point_cloud.ply",
+            "/root/scene_fullres/sfm_data_train.json",
+        ),
+    ]
+    ply_path = scene_json = None
+    for _p, _s in _cands:
+        if os.path.exists(_p) and os.path.exists(_s):
+            ply_path, scene_json = _p, _s
+            break
+    if ply_path is not None:
         from omnigs_tpu.io.openmvg import load_openmvg_scene
         from omnigs_tpu.io.ply import load_gaussian_ply
 

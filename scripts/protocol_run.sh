@@ -11,9 +11,9 @@
 #     /root/scene_fullres --width 1920 --height 960 --gaussians 32768 \
 #     --train-views 16      # (seed 0 → 16533 seed points)
 set -u -o pipefail
-export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcomp
-SCENE=${1:-/root/scene_fullres}
-OUT=${2:-/root/proto_out}
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jaxcache}
+SCENE=${1:-/root/repo/results_local/scene_fullres}
+OUT=${2:-/root/repo/results_local/proto_out}
 [ $# -ge 1 ] && shift
 [ $# -ge 1 ] && shift
 # PY override runs the entry points through a launcher (e.g.

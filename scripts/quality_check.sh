@@ -21,7 +21,7 @@
 # evidence is the full protocol run (results/protocol_r5).
 # Usage: quality_check.sh [SCENE_DIR] [OUT_DIR]
 set -u -o pipefail
-export JAX_COMPILATION_CACHE_DIR=/root/.cache/jaxcomp
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/root/repo/.jaxcache}
 # mean held-out PSNR of the pinned scene @1.5k iters over 3 seeds,
 # measured on chip on round-5 code (segmented kernels; BENCH.md r5)
 GATE_PSNR=17.07
